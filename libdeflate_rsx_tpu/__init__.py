@@ -1,0 +1,49 @@
+"""libdeflate_rsx_tpu — a TPU-native DEFLATE / zlib / gzip codec framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the
+reference Rust library 404Setup/libdeflate-rsx (see SURVEY.md): one-shot and
+streaming compression at levels 0..=12, table-driven resumable
+decompression, zlib/gzip framing with CRC-32/Adler-32, batch APIs with
+per-item fault isolation, zip-bomb and overlap guards — with the compute
+path re-designed TPU-first: MXU matmul checksums, block-parallel encoders,
+and `shard_map` data parallelism over device meshes.
+
+Public surface (parity with reference src/lib.rs re-exports):
+  Compressor, Decompressor, crc32, adler32, plus batch/stream/parallel
+  submodules.
+"""
+
+from .api import (
+    Compressor,
+    Decompressor,
+    deflate_compress_bound,
+    gzip_compress_bound,
+    zlib_compress_bound,
+)
+from .models.portable.checksums import adler32_host, crc32_host
+from .utils import errors
+
+__version__ = "0.1.0"
+
+
+def crc32(data: bytes, crc: int = 0) -> int:
+    """CRC-32 (gzip polynomial) of `data`, continuing from `crc`."""
+    return crc32_host(bytes(data), crc)
+
+
+def adler32(data: bytes, adler: int = 1) -> int:
+    """Adler-32 (zlib) of `data`, continuing from `adler`."""
+    return adler32_host(bytes(data), adler)
+
+
+__all__ = [
+    "Compressor",
+    "Decompressor",
+    "crc32",
+    "adler32",
+    "deflate_compress_bound",
+    "zlib_compress_bound",
+    "gzip_compress_bound",
+    "errors",
+    "__version__",
+]

@@ -1,0 +1,61 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+This replaces the reference's "multi-thread without a cluster" trick
+(SURVEY.md §4): multi-chip shard_map paths run against
+xla_force_host_platform_device_count=8 CPU devices, while the real TPU is
+exercised by bench.py / __graft_entry__.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0x5EED)
+
+
+@pytest.fixture
+def nprng():
+    return np.random.default_rng(0x5EED)
+
+
+def make_corpus(kind: str, size: int, seed: int = 1234) -> bytes:
+    """Deterministic test corpora in the spirit of the reference's
+    gen_bench_files.py recipe (repeated ~100-byte pseudo-pattern), plus
+    text-like, random, and periodic variants."""
+    r = random.Random(seed)
+    if kind == "pattern":
+        base = bytes(r.randrange(256) for _ in range(100))
+        reps = size // len(base) + 1
+        return (base * reps)[:size]
+    if kind == "text":
+        words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"over",
+                 b"lazy", b"dog", b"compression", b"deflate", b"huffman",
+                 b"tpu", b"kernel", b"stream"]
+        out = bytearray()
+        while len(out) < size:
+            out += r.choice(words) + b" "
+            if r.random() < 0.05:
+                out += b"\n"
+        return bytes(out[:size])
+    if kind == "random":
+        return bytes(r.randrange(256) for _ in range(size))
+    if kind == "zeros":
+        return b"\x00" * size
+    if kind.startswith("periodic"):
+        period = int(kind.split(":")[1])
+        base = bytes(r.randrange(256) for _ in range(period))
+        reps = size // period + 1
+        return (base * reps)[:size]
+    raise ValueError(kind)
