@@ -251,6 +251,96 @@ def adler32_fixed(data: jnp.ndarray, length: int,
 
 
 # ---------------------------------------------------------------------------
+# Batched per-block checksums with *traced* lengths
+# ---------------------------------------------------------------------------
+
+
+def crc32_blocks(data: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """CRC-32 of each row's first lengths[b] bytes; rows zero-padded.
+
+    data: (B, S) uint8 with S a static multiple of CRC_CHUNK; lengths: (B,)
+    traced int32. The zero padding is undone by conditionally applying
+    inverse-shift matrices for each power-of-two byte count (log2(S) masked
+    GF(2) matmuls), so lengths can vary per row inside one compiled kernel.
+    """
+    b, s = data.shape
+    assert s % CRC_CHUNK == 0
+    num_chunks = s // CRC_CHUNK
+    k = jnp.asarray(_crc_bitmatrix(CRC_CHUNK))
+    bits = _bytes_to_bits_f(data.reshape(b, num_chunks, CRC_CHUNK))
+    acc = jnp.dot(bits.reshape(b * num_chunks, -1), k,
+                  preferred_element_type=jnp.float32)
+    regs = _pack_bits_u32(acc.astype(jnp.int32) & 1).reshape(b, num_chunks)
+    span = CRC_CHUNK
+    virtual_len = s
+    while regs.shape[1] > 1:
+        if regs.shape[1] % 2:
+            regs = jnp.concatenate(
+                [regs, jnp.zeros((b, 1), jnp.uint32)], axis=1)
+            virtual_len += span
+        left, right = regs[:, 0::2], regs[:, 1::2]
+        op = _shift_matrix_u32(span)
+        regs = _jnp_mat_apply(op, left) ^ right
+        span *= 2
+    reg = regs[:, 0]
+    # init = 0xFFFFFFFF shifted past the full virtual length
+    init = jnp.full(b, 0xFFFFFFFF, jnp.uint32)
+    reg = reg ^ _jnp_mat_apply(_shift_matrix_u32(virtual_len), init)
+    # undo per-row padding: pad = virtual_len - lengths, bit-decomposed
+    pad = jnp.int32(virtual_len) - lengths.astype(jnp.int32)
+    nbits_needed = max(1, int(np.ceil(np.log2(virtual_len + 1))))
+    for t in range(nbits_needed):
+        stepped = _jnp_mat_apply(_inverse_shift_u32(1 << t), reg)
+        take = ((pad >> t) & 1).astype(bool)
+        reg = jnp.where(take, stepped, reg)
+    return reg ^ jnp.uint32(0xFFFFFFFF)
+
+
+def adler32_blocks(data: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Adler-32 of each row's first lengths[b] bytes (rows zero-padded).
+
+    Zero bytes do not change s1, and their s2 contribution is len-weighted —
+    computed in closed form, so padding is corrected exactly:
+    s2_true = s2_padded_formula with n replaced by the true length; since
+    padded bytes are zero, Σ(n-i)d_i over the true range equals
+    Σ(n_true - i)d_i when the weight uses n_true. We therefore weight with
+    per-row true lengths directly.
+    """
+    b, s = data.shape
+    assert s % ADLER_CHUNK == 0
+    c = s // ADLER_CHUNK
+    d = data.reshape(b, c, ADLER_CHUNK).astype(jnp.float32)
+    w = np.stack([np.ones(ADLER_CHUNK, np.float32),
+                  np.arange(ADLER_CHUNK, dtype=np.float32)], axis=1)
+    sums = jnp.dot(d.reshape(b * c, ADLER_CHUNK), jnp.asarray(w),
+                   preferred_element_type=jnp.float32).reshape(b, c, 2)
+    s1_c = sums[:, :, 0].astype(jnp.int32) % ADLER_MOD
+    j_c = sums[:, :, 1].astype(jnp.int32) % ADLER_MOD
+    n = lengths.astype(jnp.int32)
+    chunk_off = (jnp.arange(c, dtype=jnp.int32) * ADLER_CHUNK)[None, :]
+    coef = (n[:, None] - chunk_off) % ADLER_MOD
+    term = _mulmod(coef, s1_c)
+    weighted = (_mod_reduce_rows(term) - _mod_reduce_rows(j_c)) % ADLER_MOD
+    total = _mod_reduce_rows(s1_c)
+    s1 = (1 + total) % ADLER_MOD
+    s2 = ((n % ADLER_MOD) + weighted) % ADLER_MOD
+    return (s2.astype(jnp.uint32) << jnp.uint32(16)) | s1.astype(jnp.uint32)
+
+
+def _mod_reduce_rows(x: jnp.ndarray, mod: int = ADLER_MOD) -> jnp.ndarray:
+    """Exact int32 modular sum along the last axis (entries < mod)."""
+    v = x
+    while v.shape[-1] > 1:
+        g = min(16384, v.shape[-1])
+        pad = (-v.shape[-1]) % g
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.zeros((*v.shape[:-1], pad), v.dtype)], axis=-1)
+        v = jnp.sum(v.reshape(*v.shape[:-1], -1, g), axis=-1) % mod
+    return v[..., 0]
+
+
+# ---------------------------------------------------------------------------
 # Convenience: device checksums over byte strings
 # ---------------------------------------------------------------------------
 
