@@ -1,0 +1,196 @@
+"""Multi-chip data parallelism: shard_map batch encode over a device mesh.
+
+The reference scales with rayon thread pools (reference src/batch.rs:34-57,
+src/compress/mod.rs:699-772); the TPU equivalent shards batches of
+independent blocks across chips over a 1-D mesh axis "streams"
+(SURVEY.md §2 "Distributed communication backend"):
+
+ - each device encodes its rows with the level-1 static-Huffman block
+   kernel (models/greedy_static.py) entirely locally,
+ - ordered concatenation offsets come from a local cumsum plus an
+   `all_gather` of per-shard byte totals over ICI (the exclusive scan of
+   per-block compressed sizes),
+ - per-block CRC-32 / Adler-32 registers are computed on-device with the
+   GF(2)-matmul kernels (ops/checksums.py) and combined associatively on
+   the host (ops/checksum_math.py) — a psum-style tree, never a serial
+   re-scan of the payload.
+
+Works identically on a real TPU slice and on the virtual
+`xla_force_host_platform_device_count` CPU mesh used by tests and the
+driver's `dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..common import MAX_STORED_BLOCK_LEN
+from ..models.greedy_static import _OUT_FACTOR, encode_block_static
+from ..ops.checksum_math import adler32_combine, crc32_combine
+from ..ops.checksums import adler32_blocks, crc32_blocks
+from ..ops.matchfinder import BLOCK_PAD
+
+AXIS = "streams"
+
+
+def stream_mesh(devices=None) -> Mesh:
+    """1-D mesh over `devices` (default: all local devices), axis "streams"."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _step(blocks, valids, finals, *, block_size: int, checksums: bool):
+    """Per-device shard of the batch-encode step (runs under shard_map).
+
+    blocks: (B_local, block_size + BLOCK_PAD) uint8
+    valids/finals: (B_local,)
+    Returns (packed, nbytes, offsets[, crcs, adlers]) — offsets are GLOBAL
+    exclusive-scan byte positions for ordered concatenation.
+    """
+    enc = functools.partial(encode_block_static, block_size=block_size)
+    packed, nbytes = jax.vmap(enc)(blocks, valids, finals)
+    # Global exclusive scan of compressed sizes: local scan + shard prefix.
+    local_sizes = nbytes.astype(jnp.int32)
+    local_scan = jnp.cumsum(local_sizes) - local_sizes
+    totals = jax.lax.all_gather(jnp.sum(local_sizes), AXIS)  # (n_dev,) via ICI
+    me = jax.lax.axis_index(AXIS)
+    prefix = jnp.sum(jnp.where(jnp.arange(totals.shape[0]) < me, totals, 0))
+    offsets = local_scan + prefix
+    if not checksums:
+        return packed, nbytes, offsets
+    body = blocks[:, :block_size]
+    crcs = crc32_blocks(body, valids)
+    adlers = adler32_blocks(body, valids)
+    return packed, nbytes, offsets, crcs, adlers
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_sharded_step(mesh: Mesh, block_size: int, checksums: bool):
+    fn = functools.partial(_step, block_size=block_size, checksums=checksums)
+    n_out = 5 if checksums else 3
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=tuple([P(AXIS)] * n_out),
+    )
+    return jax.jit(mapped)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def shard_blocks(data: bytes, block_size: int, n_devices: int):
+    """Split one buffer into device-shardable padded block rows.
+
+    Returns (blocks, valids, finals, num_real). The row count is padded to
+    a multiple of n_devices; padding rows are empty non-final blocks whose
+    outputs are dropped at assembly (their valid_len is 0 so they emit only
+    an empty static block + SYNC marker, which we discard by row index).
+    """
+    n = len(data)
+    num = max(1, -(-n // block_size))
+    rows = _round_up(num, n_devices)
+    blocks = np.zeros((rows, block_size + BLOCK_PAD), dtype=np.uint8)
+    valids = np.zeros(rows, np.int32)
+    finals = np.zeros(rows, bool)
+    flat = np.frombuffer(data, np.uint8)
+    for b in range(num):
+        lo = b * block_size
+        hi = min(lo + block_size, n)
+        blocks[b, : hi - lo] = flat[lo:hi]
+        valids[b] = hi - lo
+    finals[num - 1:] = True
+    return blocks, valids, finals, num
+
+
+class ShardedCompressor:
+    """Data-parallel whole-buffer / batch DEFLATE encoder over a mesh.
+
+    The flagship multi-chip path: level-1-tier static-Huffman blocks,
+    sharded over the "streams" mesh axis, with device checksums and
+    associative host combination for zlib/gzip framing.
+    """
+
+    def __init__(self, mesh: Mesh | None = None,
+                 block_size: int = 65536) -> None:
+        self.mesh = mesh if mesh is not None else stream_mesh()
+        self.block_size = block_size
+        self.n_devices = self.mesh.devices.size
+
+    def _run(self, blocks, valids, finals, checksums: bool):
+        step = _jit_sharded_step(self.mesh, self.block_size, checksums)
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        args = [jax.device_put(jnp.asarray(a), sharding)
+                for a in (blocks, valids, finals)]
+        return step(*args)
+
+    def compress(self, data: bytes, format: str = "deflate") -> bytes:
+        """Compress one buffer, blocks sharded across every chip."""
+        blocks, valids, finals, num = shard_blocks(
+            data, self.block_size, self.n_devices)
+        want_sums = format in ("zlib", "gzip")
+        out = self._run(blocks, valids, finals, want_sums)
+        packed = np.asarray(out[0])
+        nbytes = np.asarray(out[1])
+        payload = b"".join(packed[b, : int(nbytes[b])].tobytes()
+                           for b in range(num))
+        if format == "deflate":
+            return payload
+        crcs = np.asarray(out[3])
+        adlers = np.asarray(out[4])
+        lens = np.asarray(valids)
+        from .. import containers
+        if format == "zlib":
+            adler = 1
+            for b in range(num):
+                adler = adler32_combine(adler, int(adlers[b]), int(lens[b]))
+            return (containers.zlib_header(1) + payload
+                    + containers.zlib_footer(adler))
+        crc = 0
+        for b in range(num):
+            crc = crc32_combine(crc, int(crcs[b]), int(lens[b]))
+        return (containers.gzip_header(1) + payload
+                + containers.gzip_footer(crc, len(data)))
+
+    def compress_batch(self, inputs) -> list[bytes]:
+        """Many independent buffers: all their blocks ride one sharded
+        launch; outputs are re-assembled per input in order."""
+        metas = []
+        all_blocks, all_valids, all_finals = [], [], []
+        row = 0
+        for item in inputs:
+            data = bytes(item)
+            blocks, valids, finals, num = shard_blocks(data, self.block_size, 1)
+            metas.append((row, num))
+            row += num
+            all_blocks.append(blocks[:num])
+            all_valids.append(valids[:num])
+            all_finals.append(finals[:num])
+        if not metas:
+            return []
+        blocks = np.concatenate(all_blocks)
+        valids = np.concatenate(all_valids)
+        finals = np.concatenate(all_finals)
+        rows = _round_up(len(blocks), self.n_devices)
+        pad = rows - len(blocks)
+        if pad:
+            blocks = np.concatenate(
+                [blocks, np.zeros((pad, blocks.shape[1]), np.uint8)])
+            valids = np.concatenate([valids, np.zeros(pad, np.int32)])
+            finals = np.concatenate([finals, np.ones(pad, bool)])
+        packed, nbytes, _ = self._run(blocks, valids, finals, False)
+        packed = np.asarray(packed)
+        nbytes = np.asarray(nbytes)
+        out = []
+        for start, num in metas:
+            out.append(b"".join(packed[b, : int(nbytes[b])].tobytes()
+                                for b in range(start, start + num)))
+        return out

@@ -8,11 +8,20 @@ exercised by bench.py / __graft_entry__.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the virtual CPU mesh even when the environment points JAX at a
+# real accelerator: unit tests must be hermetic and exercise the 8-device
+# shard_map paths; bench.py / __graft_entry__.entry() use the real chip.
+# The platform plugin may pre-set jax.config.jax_platforms, which takes
+# precedence over the env var, so override at the config level too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 
