@@ -52,11 +52,11 @@ STORED_BLOCK = 65535
 
 def deflate_device_stored(data: bytes, block_size: int = STORED_BLOCK) -> bytes:
     """Whole-buffer level-0 raw DEFLATE on the device."""
-    from .greedy_static import _bucket
-
     n = len(data)
     num = max(1, -(-n // block_size))
-    rows = _bucket(num)
+    rows = 1
+    while rows < num:  # power-of-two bucket bounds compiled shape count
+        rows *= 2
     arr = np.zeros((rows, block_size), np.uint8)
     valid = np.zeros(rows, np.int32)
     flat = np.frombuffer(data, np.uint8)

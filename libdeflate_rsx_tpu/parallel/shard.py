@@ -5,8 +5,8 @@ src/compress/mod.rs:699-772); the TPU equivalent shards batches of
 independent blocks across chips over a 1-D mesh axis "streams"
 (SURVEY.md §2 "Distributed communication backend"):
 
- - each device encodes its rows with the level-1 static-Huffman block
-   kernel (models/greedy_static.py) entirely locally,
+ - each device encodes its rows with the gather-free static-Huffman block
+   kernel (ops/encode_v2.py) entirely locally,
  - ordered concatenation offsets come from a local cumsum plus an
    `all_gather` of per-shard byte totals over ICI (the exclusive scan of
    per-block compressed sizes),
@@ -29,11 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..common import MAX_STORED_BLOCK_LEN
-from ..models.greedy_static import _OUT_FACTOR, encode_block_static
+from ..models.greedy_static import assemble_with_fallback, split_blocks
 from ..ops.checksum_math import adler32_combine, crc32_combine
 from ..ops.checksums import adler32_blocks, crc32_blocks
-from ..ops.matchfinder import BLOCK_PAD
+from ..ops.encode_v2 import BLOCK_PAD, encode_rows_static
 
 AXIS = "streams"
 
@@ -48,32 +47,33 @@ def stream_mesh(devices=None) -> Mesh:
 def _step(blocks, valids, finals, *, block_size: int, checksums: bool):
     """Per-device shard of the batch-encode step (runs under shard_map).
 
-    blocks: (B_local, block_size + BLOCK_PAD) uint8
-    valids/finals: (B_local,)
-    Returns (packed, nbytes, offsets[, crcs, adlers]) — offsets are GLOBAL
-    exclusive-scan byte positions for ordered concatenation.
+    blocks: (B_local, block_size + BLOCK_PAD) uint8.
+    Returns (rows, byte_off, rowbits, total_bits, nbytes, offsets[, crcs,
+    adlers]) — offsets are GLOBAL exclusive-scan byte positions for
+    ordered concatenation, via an all-gather over the mesh axis.
     """
-    enc = functools.partial(encode_block_static, block_size=block_size)
-    packed, nbytes = jax.vmap(enc)(blocks, valids, finals)
-    # Global exclusive scan of compressed sizes: local scan + shard prefix.
+    enc = functools.partial(encode_rows_static, block_size=block_size)
+    rows, byte_off, rowbits, total_bits, nbytes = jax.vmap(enc)(
+        blocks, valids, finals)
     local_sizes = nbytes.astype(jnp.int32)
     local_scan = jnp.cumsum(local_sizes) - local_sizes
-    totals = jax.lax.all_gather(jnp.sum(local_sizes), AXIS)  # (n_dev,) via ICI
+    totals = jax.lax.all_gather(jnp.sum(local_sizes), AXIS)  # over ICI
     me = jax.lax.axis_index(AXIS)
     prefix = jnp.sum(jnp.where(jnp.arange(totals.shape[0]) < me, totals, 0))
     offsets = local_scan + prefix
+    out = (rows, byte_off, rowbits, total_bits, nbytes, offsets)
     if not checksums:
-        return packed, nbytes, offsets
+        return out
     body = blocks[:, :block_size]
     crcs = crc32_blocks(body, valids)
     adlers = adler32_blocks(body, valids)
-    return packed, nbytes, offsets, crcs, adlers
+    return out + (crcs, adlers)
 
 
 @functools.lru_cache(maxsize=8)
 def _jit_sharded_step(mesh: Mesh, block_size: int, checksums: bool):
     fn = functools.partial(_step, block_size=block_size, checksums=checksums)
-    n_out = 5 if checksums else 3
+    n_out = 8 if checksums else 6
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
@@ -88,27 +88,18 @@ def _round_up(n: int, m: int) -> int:
 
 
 def shard_blocks(data: bytes, block_size: int, n_devices: int):
-    """Split one buffer into device-shardable padded block rows.
-
-    Returns (blocks, valids, finals, num_real). The row count is padded to
-    a multiple of n_devices; padding rows are empty non-final blocks whose
-    outputs are dropped at assembly (their valid_len is 0 so they emit only
-    an empty static block + SYNC marker, which we discard by row index).
-    """
-    n = len(data)
-    num = max(1, -(-n // block_size))
+    """Split one buffer into device-shardable padded block rows; the row
+    count is padded to a multiple of n_devices (padding rows are empty
+    final blocks whose outputs are dropped at assembly)."""
+    arr, valid, finals, num = split_blocks(data, block_size)
     rows = _round_up(num, n_devices)
-    blocks = np.zeros((rows, block_size + BLOCK_PAD), dtype=np.uint8)
-    valids = np.zeros(rows, np.int32)
-    finals = np.zeros(rows, bool)
-    flat = np.frombuffer(data, np.uint8)
-    for b in range(num):
-        lo = b * block_size
-        hi = min(lo + block_size, n)
-        blocks[b, : hi - lo] = flat[lo:hi]
-        valids[b] = hi - lo
-    finals[num - 1:] = True
-    return blocks, valids, finals, num
+    if rows > num:
+        pad = rows - num
+        arr = np.concatenate(
+            [arr, np.zeros((pad, arr.shape[1]), np.uint8)])
+        valid = np.concatenate([valid, np.zeros(pad, np.int32)])
+        finals = np.concatenate([finals, np.ones(pad, bool)])
+    return arr, valid, finals, num
 
 
 class ShardedCompressor:
@@ -132,28 +123,30 @@ class ShardedCompressor:
                 for a in (blocks, valids, finals)]
         return step(*args)
 
+    def _assemble(self, data: bytes, out, valids, finals, num) -> bytes:
+        parts = assemble_with_fallback(
+            data, self.block_size, out[:5], valids, finals, num)
+        return b"".join(parts)
+
     def compress(self, data: bytes, format: str = "deflate") -> bytes:
         """Compress one buffer, blocks sharded across every chip."""
         blocks, valids, finals, num = shard_blocks(
             data, self.block_size, self.n_devices)
         want_sums = format in ("zlib", "gzip")
         out = self._run(blocks, valids, finals, want_sums)
-        packed = np.asarray(out[0])
-        nbytes = np.asarray(out[1])
-        payload = b"".join(packed[b, : int(nbytes[b])].tobytes()
-                           for b in range(num))
+        payload = self._assemble(data, out, valids, finals, num)
         if format == "deflate":
             return payload
-        crcs = np.asarray(out[3])
-        adlers = np.asarray(out[4])
-        lens = np.asarray(valids)
         from .. import containers
+        lens = np.asarray(valids)
         if format == "zlib":
+            adlers = np.asarray(out[7])
             adler = 1
             for b in range(num):
                 adler = adler32_combine(adler, int(adlers[b]), int(lens[b]))
             return (containers.zlib_header(1) + payload
                     + containers.zlib_footer(adler))
+        crcs = np.asarray(out[6])
         crc = 0
         for b in range(num):
             crc = crc32_combine(crc, int(crcs[b]), int(lens[b]))
@@ -168,12 +161,12 @@ class ShardedCompressor:
         row = 0
         for item in inputs:
             data = bytes(item)
-            blocks, valids, finals, num = shard_blocks(data, self.block_size, 1)
-            metas.append((row, num))
+            blocks, valids, finals, num = split_blocks(data, self.block_size)
+            metas.append((row, num, data))
             row += num
-            all_blocks.append(blocks[:num])
-            all_valids.append(valids[:num])
-            all_finals.append(finals[:num])
+            all_blocks.append(blocks)
+            all_valids.append(valids)
+            all_finals.append(finals)
         if not metas:
             return []
         blocks = np.concatenate(all_blocks)
@@ -186,11 +179,12 @@ class ShardedCompressor:
                 [blocks, np.zeros((pad, blocks.shape[1]), np.uint8)])
             valids = np.concatenate([valids, np.zeros(pad, np.int32)])
             finals = np.concatenate([finals, np.ones(pad, bool)])
-        packed, nbytes, _ = self._run(blocks, valids, finals, False)
-        packed = np.asarray(packed)
-        nbytes = np.asarray(nbytes)
-        out = []
-        for start, num in metas:
-            out.append(b"".join(packed[b, : int(nbytes[b])].tobytes()
-                                for b in range(start, start + num)))
-        return out
+        out = self._run(blocks, valids, finals, False)
+        results = []
+        for start, num, data in metas:
+            sub = tuple(np.asarray(a)[start:start + num] for a in out[:5])
+            parts = assemble_with_fallback(
+                data, self.block_size, sub,
+                valids[start:start + num], finals[start:start + num], num)
+            results.append(b"".join(parts))
+        return results

@@ -71,8 +71,8 @@ def test_graft_entry_single_chip():
     import jax
     from __graft_entry__ import entry
     fn, args = entry()
-    packed, nbytes = jax.jit(fn)(*args)
-    assert packed.shape[0] == args[0].shape[0]
+    rows, byte_off, rowbits, total_bits, nbytes = jax.jit(fn)(*args)
+    assert rows.shape[0] == args[0].shape[0]
     assert int(nbytes.sum()) > 0
 
 
