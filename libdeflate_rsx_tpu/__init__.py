@@ -20,7 +20,9 @@ from .api import (
     gzip_compress_bound,
     zlib_compress_bound,
 )
+from .batch import BatchCompressor, BatchDecompressor
 from .models.portable.checksums import adler32_host, crc32_host
+from .stream import DeflateDecoder, DeflateEncoder
 from .utils import errors
 
 __version__ = "0.1.0"
@@ -39,6 +41,10 @@ def adler32(data: bytes, adler: int = 1) -> int:
 __all__ = [
     "Compressor",
     "Decompressor",
+    "BatchCompressor",
+    "BatchDecompressor",
+    "DeflateEncoder",
+    "DeflateDecoder",
     "crc32",
     "adler32",
     "deflate_compress_bound",

@@ -87,12 +87,44 @@ def assemble_with_fallback(data: bytes, block_size: int, device_out,
 
 
 def deflate_device_static(data: bytes,
-                          block_size: int = DEFAULT_BLOCK) -> bytes:
-    """Whole-buffer raw-DEFLATE encode on the device (level-1 tier)."""
+                          block_size: int = DEFAULT_BLOCK,
+                          launch_rows: int | None = None) -> bytes:
+    """Whole-buffer raw-DEFLATE encode on the device (level-1 tier).
+
+    launch_rows pins the device launch shape: large buffers are processed
+    in fixed-size sub-batches of that many blocks (one compiled program,
+    launches pipelined, single host sync at the end) — the analog of the
+    reference's persistent per-thread compressors over 256 KB chunks
+    (reference src/compress/mod.rs:699-772).
+    """
+    import numpy as np_
     import jax.numpy as jnp
 
     arr, valid, finals, num = split_blocks(data, block_size)
     enc = jit_encoder(block_size)
-    out = enc(jnp.asarray(arr), jnp.asarray(valid), jnp.asarray(finals))
-    return b"".join(
-        assemble_with_fallback(data, block_size, out, valid, finals, num))
+    if launch_rows is None or num <= launch_rows:
+        out = enc(jnp.asarray(arr), jnp.asarray(valid), jnp.asarray(finals))
+        return b"".join(
+            assemble_with_fallback(data, block_size, out, valid, finals,
+                                   num))
+    # fixed-shape pipelined launches; padding rows are empty final blocks
+    # whose outputs are dropped at assembly
+    launches = []
+    for lo in range(0, num, launch_rows):
+        hi = min(lo + launch_rows, num)
+        a = arr[lo:hi]
+        v = valid[lo:hi]
+        f = finals[lo:hi]
+        if hi - lo < launch_rows:
+            pad = launch_rows - (hi - lo)
+            a = np_.concatenate([a, np_.zeros((pad, a.shape[1]), np_.uint8)])
+            v = np_.concatenate([v, np_.zeros(pad, np_.int32)])
+            f = np_.concatenate([f, np_.ones(pad, bool)])
+        launches.append(
+            (lo, hi, enc(jnp.asarray(a), jnp.asarray(v), jnp.asarray(f))))
+    parts: list[bytes] = []
+    for lo, hi, out in launches:
+        sub = data[lo * block_size: hi * block_size]
+        parts.extend(assemble_with_fallback(
+            sub, block_size, out, valid[lo:hi], finals[lo:hi], hi - lo))
+    return b"".join(parts)

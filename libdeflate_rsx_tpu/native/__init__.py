@@ -1,0 +1,82 @@
+"""Native host-runtime kernels (C, built on first use, ctypes-bound).
+
+The reference's host path is entirely native (Rust); this package holds
+the TPU build's native host components — currently the ragged row
+assembler that merges device-produced bit-aligned row buffers into final
+DEFLATE streams at memcpy speed. Falls back to pure numpy when no C
+compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_native.so")
+_SRC = os.path.join(_HERE, "assemble.c")
+
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    cc = os.environ.get("CC", "cc")
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True, capture_output=True)
+        return _SO
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def get_lib():
+    """The loaded native library, or None (numpy fallback)."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.assemble_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.assemble_rows.restype = None
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def assemble_rows_native(out, rows, byte_off, extent) -> bool:
+    """OR-place row buffers into per-block output arrays.
+
+    out: (B, out_cap) uint8 C-contiguous (modified in place);
+    rows: (B, R, W) uint8; byte_off/extent: (B, R) int64.
+    Returns False if the native library is unavailable.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    if not (out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8):
+        return False  # a copy would break the in-place contract
+    rows_c = np.ascontiguousarray(rows, dtype=np.uint8)
+    off_c = np.ascontiguousarray(byte_off, dtype=np.int64)
+    ext_c = np.ascontiguousarray(extent, dtype=np.int64)
+    b, r, w = rows_c.shape
+    lib.assemble_rows(
+        out.ctypes.data, rows_c.ctypes.data, off_c.ctypes.data,
+        ext_c.ctypes.data, b, r, w, out.shape[1])
+    return True

@@ -342,15 +342,20 @@ def assemble_blocks(rows: np.ndarray, byte_off: np.ndarray,
     extent = (phase + rowbits + 7) // 8            # bytes used per row
     extent = np.minimum(extent, w)
 
-    kk = np.arange(w)[None, None, :]
-    gidx = byte_off[:, :, None] + kk               # (B, R, W) global bytes
-    interior = (kk >= 1) & (kk < extent[:, :, None] - 1)
-    bidx = np.broadcast_to(np.arange(b)[:, None, None], gidx.shape)
-    out[bidx[interior], gidx[interior]] = rows[interior]
-    # boundary bytes (first and last of each row) OR-accumulate
-    boundary = ((kk == 0) | (kk == extent[:, :, None] - 1)) & \
-        (kk < extent[:, :, None])
-    np.bitwise_or.at(out, (bidx[boundary], gidx[boundary]), rows[boundary])
+    from ..native import assemble_rows_native
+    if not assemble_rows_native(out, rows, byte_off, extent):
+        # numpy fallback: interior bytes never collide across rows
+        # (consecutive rows share at most one boundary byte), so one
+        # fancy assignment + OR-accumulate for the boundary bytes
+        kk = np.arange(w)[None, None, :]
+        gidx = byte_off[:, :, None] + kk           # (B, R, W) global bytes
+        interior = (kk >= 1) & (kk < extent[:, :, None] - 1)
+        bidx = np.broadcast_to(np.arange(b)[:, None, None], gidx.shape)
+        out[bidx[interior], gidx[interior]] = rows[interior]
+        boundary = ((kk == 0) | (kk == extent[:, :, None] - 1)) & \
+            (kk < extent[:, :, None])
+        np.bitwise_or.at(out, (bidx[boundary], gidx[boundary]),
+                         rows[boundary])
     # 3-bit block header: BFINAL | BTYPE=01 (LSB-first)
     for i in range(num):
         out[i, 0] |= (1 if finals[i] else 0) | 0b010

@@ -1,0 +1,179 @@
+"""Streaming DEFLATE encoder/decoder (reference src/stream.rs parity).
+
+`DeflateEncoder` wraps a writable file-like object: writes are buffered
+(default 1 MiB), and each flush splits the buffer into 256 KiB chunks
+that are independently compressed and joined with SYNC flushes — the
+reference's parallel chunk scheme (reference src/stream.rs:100-146).
+Each chunk sees the previous chunk's last 32 KiB as LZ history, so the
+chunks stay independently compressible (batch/device offload friendly)
+without losing cross-chunk matches entirely.
+
+`DeflateDecoder` wraps a readable file-like object and drives the
+resumable `Inflater` state machine with a growing input buffer (32 KiB →
+1 MiB) and a sliding output window keeping 32 KiB of history
+(reference src/stream.rs:235-377).
+"""
+
+from __future__ import annotations
+
+from .common import WINDOW_SIZE
+from .models.portable.deflate import Flush, deflate_host
+from .models.portable.inflate import Inflater
+from .utils.errors import DecompressStatus, ShortInputError
+
+DEFAULT_BUFFER_SIZE = 1 << 20
+CHUNK_SIZE = 256 * 1024
+_IN_START = 32 * 1024
+_IN_MAX = 1 << 20
+_OUT_CHUNK = 64 * 1024
+
+
+class DeflateEncoder:
+    """Buffered streaming raw-DEFLATE encoder over a writable object."""
+
+    def __init__(self, writer, level: int = 6,
+                 buffer_size: int = DEFAULT_BUFFER_SIZE) -> None:
+        self._writer = writer
+        self._level = level
+        self._buffer_size = max(1, buffer_size)
+        self._buf = bytearray()
+        self._history = b""
+        self._finished = False
+
+    # -- io.Write parity -----------------------------------------------------
+
+    def write(self, data) -> int:
+        if self._finished:
+            raise ValueError("write after finish()")
+        self._buf += bytes(data)
+        if len(self._buf) >= self._buffer_size:
+            self._flush_buffer(final=False)
+        return len(data)
+
+    def flush(self) -> None:
+        """Compress and push everything buffered, ending byte-aligned
+        (SYNC), then flush the inner writer."""
+        if self._finished:
+            return
+        self._flush_buffer(final=False)
+        if hasattr(self._writer, "flush"):
+            self._writer.flush()
+
+    def finish(self):
+        """Emit the final block and return the inner writer."""
+        if not self._finished:
+            self._flush_buffer(final=True)
+            self._finished = True
+        return self._writer
+
+    def close(self) -> None:
+        """Best-effort finish (the reference's Drop impl,
+        reference src/stream.rs:227-233)."""
+        try:
+            self.finish()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.finish()
+        else:
+            self.close()
+        return False
+
+    # -- internals ------------------------------------------------------------
+
+    def _flush_buffer(self, final: bool) -> None:
+        data = bytes(self._buf)
+        self._buf.clear()
+        if not data:
+            out = deflate_host(b"", self._level,
+                               Flush.FINISH if final else Flush.SYNC,
+                               history=self._history)
+            self._writer.write(out)
+            return
+        pos = 0
+        while pos < len(data):
+            end = min(pos + CHUNK_SIZE, len(data))
+            last = end == len(data)
+            chunk = data[pos:end]
+            out = deflate_host(
+                chunk, self._level,
+                Flush.FINISH if (final and last) else Flush.SYNC,
+                history=self._history)
+            self._writer.write(out)
+            self._history = chunk[-WINDOW_SIZE:] if len(chunk) >= WINDOW_SIZE \
+                else (self._history + chunk)[-WINDOW_SIZE:]
+            pos = end
+
+
+class DeflateDecoder:
+    """Streaming raw-DEFLATE decoder over a readable object."""
+
+    def __init__(self, reader) -> None:
+        self._reader = reader
+        self._inflater = Inflater()
+        self._in = bytearray()
+        self._in_cap = _IN_START
+        self._window = bytearray()      # history + undrained output
+        self._drained = 0
+        self._eof_in = False
+
+    @property
+    def finished(self) -> bool:
+        return self._inflater.finished and self._available() == 0
+
+    def _available(self) -> int:
+        return len(self._window) - self._drained
+
+    def _slide(self) -> None:
+        if self._drained > WINDOW_SIZE and len(self._window) > 2 * WINDOW_SIZE:
+            cut = self._drained - WINDOW_SIZE
+            del self._window[:cut]
+            self._drained -= cut
+
+    def _refill(self) -> bool:
+        """Read more compressed bytes; True if any arrived."""
+        if self._eof_in:
+            return False
+        if len(self._in) >= self._in_cap and self._in_cap < _IN_MAX:
+            self._in_cap = min(self._in_cap * 2, _IN_MAX)
+        want = max(self._in_cap - len(self._in), 1)
+        got = self._reader.read(want)
+        if not got:
+            self._eof_in = True
+            return False
+        self._in += got
+        return True
+
+    def read(self, size: int = -1) -> bytes:
+        out = bytearray()
+        while size < 0 or len(out) < size:
+            avail = self._available()
+            if avail:
+                take = avail if size < 0 else min(avail, size - len(out))
+                out += self._window[self._drained: self._drained + take]
+                self._drained += take
+                self._slide()
+                continue
+            if self._inflater.finished:
+                break
+            status, consumed = self._inflater.step(
+                bytes(self._in), self._window,
+                len(self._window) + _OUT_CHUNK)
+            del self._in[:consumed]
+            if status == DecompressStatus.SHORT_INPUT:
+                if not self._refill():
+                    raise ShortInputError(
+                        "unexpected EOF mid-DEFLATE-stream")
+            # INSUFFICIENT_SPACE / DONE: loop drains or exits
+        return bytes(out)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False

@@ -1,0 +1,130 @@
+"""Streaming encoder/decoder tests (reference tests/stream_test.rs and
+tests/buffer_size_test.rs parity): round trips, small-read granularity,
+flush propagation, buffer-size-triggered flushes, EOF handling."""
+
+import io
+import zlib
+
+import pytest
+
+from conftest import make_corpus
+from libdeflate_rsx_tpu.stream import DeflateEncoder, DeflateDecoder
+from libdeflate_rsx_tpu.utils.errors import ShortInputError
+
+
+class FlushTrackingWriter(io.BytesIO):
+    def __init__(self):
+        super().__init__()
+        self.flushes = 0
+        self.writes = 0
+
+    def write(self, b):
+        self.writes += 1
+        return super().write(b)
+
+    def flush(self):
+        self.flushes += 1
+        super().flush()
+
+
+@pytest.mark.parametrize("kind,size", [
+    ("text", 1000), ("pattern", 300000), ("random", 50000),
+    ("text", 0), ("zeros", 1 << 20),
+])
+def test_encoder_roundtrip_via_zlib(kind, size):
+    data = make_corpus(kind, size)
+    sink = io.BytesIO()
+    enc = DeflateEncoder(sink, level=6)
+    enc.write(data)
+    enc.finish()
+    assert zlib.decompress(sink.getvalue(), -15) == data
+
+
+def test_encoder_decoder_roundtrip_small_reads():
+    data = make_corpus("text", 40000)
+    sink = io.BytesIO()
+    with DeflateEncoder(sink, level=5) as enc:
+        for i in range(0, len(data), 1000):
+            enc.write(data[i:i + 1000])
+    dec = DeflateDecoder(io.BytesIO(sink.getvalue()))
+    out = bytearray()
+    while True:
+        piece = dec.read(10)      # 10-byte read granularity
+        if not piece:
+            break
+        out += piece
+    assert bytes(out) == data
+    assert dec.finished
+
+
+def test_decoder_reads_zlib_produced_stream():
+    data = make_corpus("pattern", 150000)
+    comp = zlib.compress(data, 6)[2:-4]   # strip zlib container
+    dec = DeflateDecoder(io.BytesIO(comp))
+    assert dec.read() == data
+
+
+def test_flush_propagates_and_stream_remains_valid():
+    data1 = make_corpus("text", 5000, seed=1)
+    data2 = make_corpus("text", 5000, seed=2)
+    sink = FlushTrackingWriter()
+    enc = DeflateEncoder(sink, level=6)
+    enc.write(data1)
+    enc.flush()
+    assert sink.flushes == 1
+    mid = sink.getvalue()
+    # after a SYNC flush the stream is byte-aligned and decodable so far
+    d = zlib.decompressobj(-15)
+    assert d.decompress(mid) == data1
+    enc.write(data2)
+    enc.finish()
+    assert zlib.decompress(sink.getvalue(), -15) == data1 + data2
+
+
+def test_buffer_size_triggers_flush():
+    sink = FlushTrackingWriter()
+    enc = DeflateEncoder(sink, level=1, buffer_size=1024)
+    enc.write(b"x" * 1023)
+    assert sink.writes == 0           # below threshold: buffered
+    enc.write(b"y" * 2)
+    assert sink.writes >= 1           # threshold crossed: flushed
+    enc.finish()
+    assert zlib.decompress(sink.getvalue(), -15) == b"x" * 1023 + b"y" * 2
+
+
+def test_write_after_finish_rejected():
+    enc = DeflateEncoder(io.BytesIO())
+    enc.finish()
+    with pytest.raises(ValueError):
+        enc.write(b"more")
+
+
+def test_truncated_stream_raises():
+    data = make_corpus("text", 30000)
+    comp = zlib.compress(data, 6)[2:-4]
+    dec = DeflateDecoder(io.BytesIO(comp[: len(comp) // 2]))
+    with pytest.raises(ShortInputError):
+        dec.read()
+
+
+def test_multi_chunk_history_crosses_chunks():
+    # 600 KB forces multiple 256 KB chunks; repeated data straddling the
+    # chunk boundary must still decode (history handoff correctness)
+    base = make_corpus("text", 100000)
+    data = base * 6
+    sink = io.BytesIO()
+    with DeflateEncoder(sink, level=6) as enc:
+        enc.write(data)
+    comp = sink.getvalue()
+    assert zlib.decompress(comp, -15) == data
+    # cross-chunk history should make chunk 2+ cheaper than chunk 1
+    assert len(comp) < len(zlib.compress(base, 6)) * 6
+
+
+def test_empty_flush_emits_sync_marker():
+    sink = io.BytesIO()
+    enc = DeflateEncoder(sink)
+    enc.flush()
+    enc.write(b"abc")
+    enc.finish()
+    assert zlib.decompress(sink.getvalue(), -15) == b"abc"
