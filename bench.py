@@ -21,7 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import numpy as np
 
-LAUNCH_ROWS = 64
+LAUNCH_ROWS = 16
 BLOCK = 65536
 
 

@@ -260,24 +260,23 @@ def encode_rows_static(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
     v = val.reshape(r, ROW)
     lo = v << shift
     hi = jnp.where(shift == 0, U(0), v >> (U(32) - shift))
-    # 16-bit halves (disjoint bit ranges per word => exact f32 sums)
-    parts = jnp.stack([
-        (lo & U(0xFFFF)).astype(jnp.float32),
-        (lo >> U(16)).astype(jnp.float32),
-        (hi & U(0xFFFF)).astype(jnp.float32),
-        (hi >> U(16)).astype(jnp.float32),
-    ], axis=1)                                                # (R, 4, ROW)
-    nw = ROW_OUT // 4 + 2                                     # 42 u32 words
+    # 8-bit byte planes: TPU matmuls run at bf16 input precision by
+    # default, and integers <= 255 (and their disjoint-bit sums) are
+    # exact in bf16 — 16-bit parts would be silently truncated.
+    parts = jnp.stack(
+        [((lo >> U(8 * k)) & U(0xFF)).astype(jnp.bfloat16) for k in range(4)]
+        + [((hi >> U(8 * k)) & U(0xFF)).astype(jnp.bfloat16)
+           for k in range(4)], axis=1)                        # (R, 8, ROW)
+    nw = ROW_OUT // 4 + 2
     cols = jnp.arange(nw, dtype=jnp.int32)
     onehot = (local_word[:, :, None] == cols).astype(jnp.bfloat16)
     g = jnp.einsum("rpw,rwc->rpc", parts, onehot,
-                   preferred_element_type=jnp.float32)        # (R, 4, NW)
-    lo16 = g[:, 0].astype(jnp.int32).astype(U)
-    lo_hi16 = g[:, 1].astype(jnp.int32).astype(U)
-    hi16 = g[:, 2].astype(jnp.int32).astype(U)
-    hi_hi16 = g[:, 3].astype(jnp.int32).astype(U)
-    words_lo = lo16 | (lo_hi16 << U(16))
-    words_hi = hi16 | (hi_hi16 << U(16))
+                   preferred_element_type=jnp.float32)        # (R, 8, NW)
+    gb = [g[:, k].astype(jnp.int32).astype(U) for k in range(8)]
+    words_lo = (gb[0] | (gb[1] << U(8)) | (gb[2] << U(16))
+                | (gb[3] << U(24)))
+    words_hi = (gb[4] | (gb[5] << U(8)) | (gb[6] << U(16))
+                | (gb[7] << U(24)))
     # hi parts belong to the NEXT word: shift along the word axis
     words_hi = jnp.concatenate(
         [jnp.zeros((r, 1), U), words_hi[:, :-1]], axis=1)
