@@ -21,7 +21,8 @@ from .api import (
     zlib_compress_bound,
 )
 from .batch import BatchCompressor, BatchDecompressor
-from .models.portable.checksums import adler32_host, crc32_host
+from .engine import adler32 as adler32_host
+from .engine import crc32 as crc32_host
 from .stream import DeflateDecoder, DeflateEncoder
 from .utils import errors
 

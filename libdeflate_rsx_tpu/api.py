@@ -22,9 +22,11 @@ from .common import (
     gzip_compress_bound,
     zlib_compress_bound,
 )
-from .models.portable.checksums import adler32_host, crc32_host
-from .models.portable.deflate import Flush, deflate_host
-from .models.portable.inflate import Inflater
+from .engine import adler32 as adler32_host
+from .engine import compress_raw
+from .engine import crc32 as crc32_host
+from .engine import decompress_raw
+from .models.portable.deflate import Flush
 from .utils.errors import (
     BadDataError,
     DecompressStatus,
@@ -72,18 +74,18 @@ class Compressor:
     # -- allocating variants -------------------------------------------------
 
     def compress_deflate(self, data: bytes) -> bytes:
-        return deflate_host(bytes(data), self.level, Flush.FINISH)
+        return compress_raw(bytes(data), self.level, Flush.FINISH)
 
     def compress_zlib(self, data: bytes) -> bytes:
         data = bytes(data)
         return (containers.zlib_header(self.level)
-                + deflate_host(data, self.level, Flush.FINISH)
+                + compress_raw(data, self.level, Flush.FINISH)
                 + containers.zlib_footer(adler32_host(data)))
 
     def compress_gzip(self, data: bytes) -> bytes:
         data = bytes(data)
         return (containers.gzip_header(self.level)
-                + deflate_host(data, self.level, Flush.FINISH)
+                + compress_raw(data, self.level, Flush.FINISH)
                 + containers.gzip_footer(crc32_host(data), len(data)))
 
     # -- caller-buffer variants ----------------------------------------------
@@ -131,14 +133,7 @@ class Decompressor:
                 f"expansion ratio guard tripped: {in_size} -> {out_size}")
 
     def _inflate(self, payload: bytes, max_out: int):
-        d = Inflater()
-        out = bytearray()
-        status, consumed = d.step(payload, out, max_out)
-        if status == DecompressStatus.SHORT_INPUT:
-            raise ShortInputError("compressed data truncated")
-        if status == DecompressStatus.INSUFFICIENT_SPACE:
-            raise InsufficientSpaceError("decompressed data exceeds buffer")
-        return bytes(out), consumed
+        return decompress_raw(payload, max_out)
 
     # -- raw deflate ---------------------------------------------------------
 

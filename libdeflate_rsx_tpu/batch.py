@@ -17,8 +17,10 @@ import numpy as np
 
 from . import containers
 from .common import MAX_LEVEL, MIN_LEVEL
-from .models.portable.checksums import adler32_host, crc32_host
-from .models.portable.deflate import Flush, deflate_host
+from .engine import adler32 as adler32_host
+from .engine import compress_raw
+from .engine import crc32 as crc32_host
+from .models.portable.deflate import Flush
 from .models.portable.inflate import Inflater
 from .utils.errors import DecompressStatus, DeflateError, LevelError
 
@@ -58,8 +60,17 @@ class BatchCompressor:
     def _device_wanted(self) -> bool:
         if self.use_device is False:
             return False
-        return (self.level in DEVICE_LEVELS_STORED
-                or self.level in DEVICE_LEVELS_GREEDY)
+        if self.level not in DEVICE_LEVELS_STORED | DEVICE_LEVELS_GREEDY:
+            return False
+        if self.use_device:
+            return True
+        # auto mode: offload only when a real accelerator backs JAX — the
+        # CPU backend would lose to the native host codec
+        try:
+            import jax
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
 
     def _compress_one_device(self, data: bytes) -> bytes:
         if self.level in DEVICE_LEVELS_STORED:
@@ -71,7 +82,7 @@ class BatchCompressor:
         return self._frame(data, payload)
 
     def _compress_one_host(self, data: bytes) -> bytes:
-        return self._frame(data, deflate_host(data, self.level, Flush.FINISH))
+        return self._frame(data, compress_raw(data, self.level, Flush.FINISH))
 
     def compress_batch(self, inputs) -> list[bytes]:
         """Per-item isolation: an item that fails yields b"" (reference

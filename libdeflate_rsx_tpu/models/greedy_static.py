@@ -101,30 +101,43 @@ def deflate_device_static(data: bytes,
     import jax.numpy as jnp
 
     arr, valid, finals, num = split_blocks(data, block_size)
-    enc = jit_encoder(block_size)
     if launch_rows is None or num <= launch_rows:
+        enc = jit_encoder(block_size)
         out = enc(jnp.asarray(arr), jnp.asarray(valid), jnp.asarray(finals))
         return b"".join(
             assemble_with_fallback(data, block_size, out, valid, finals,
                                    num))
-    # fixed-shape pipelined launches; padding rows are empty final blocks
-    # whose outputs are dropped at assembly
-    launches = []
-    for lo in range(0, num, launch_rows):
-        hi = min(lo + launch_rows, num)
-        a = arr[lo:hi]
-        v = valid[lo:hi]
-        f = finals[lo:hi]
-        if hi - lo < launch_rows:
-            pad = launch_rows - (hi - lo)
-            a = np_.concatenate([a, np_.zeros((pad, a.shape[1]), np_.uint8)])
-            v = np_.concatenate([v, np_.zeros(pad, np_.int32)])
-            f = np_.concatenate([f, np_.ones(pad, bool)])
-        launches.append(
-            (lo, hi, enc(jnp.asarray(a), jnp.asarray(v), jnp.asarray(f))))
-    parts: list[bytes] = []
-    for lo, hi, out in launches:
-        sub = data[lo * block_size: hi * block_size]
-        parts.extend(assemble_with_fallback(
-            sub, block_size, out, valid[lo:hi], finals[lo:hi], hi - lo))
-    return b"".join(parts)
+    # unrolled-chunk launches: UNROLL independent chunk subgraphs per jit
+    # call (XLA overlaps them on-device); padding rows are empty final
+    # blocks whose outputs are dropped at assembly
+    from ..ops.encode_v2 import jit_encoder_scan
+
+    unroll = 8
+    per_launch = unroll * launch_rows
+    k = -(-num // per_launch)
+    rows = k * per_launch
+    if rows > num:
+        pad = rows - num
+        arr = np_.concatenate(
+            [arr, np_.zeros((pad, arr.shape[1]), np_.uint8)])
+        valid = np_.concatenate([valid, np_.zeros(pad, np_.int32)])
+        finals = np_.concatenate([finals, np_.ones(pad, bool)])
+    enc = jit_encoder_scan(block_size, unroll)
+    outs = []
+    for li in range(k):
+        lo = li * per_launch
+        a = jnp.asarray(arr[lo:lo + per_launch]).reshape(
+            unroll, launch_rows, -1)
+        v = jnp.asarray(valid[lo:lo + per_launch]).reshape(
+            unroll, launch_rows)
+        f = jnp.asarray(finals[lo:lo + per_launch]).reshape(
+            unroll, launch_rows)
+        outs.append(enc(a, v, f))   # async dispatch; sync at np.asarray
+    flats = []
+    for j in range(5):
+        parts_j = [np_.asarray(o[j]) for o in outs]
+        cat = np_.concatenate(parts_j)
+        flats.append(cat.reshape(rows, *cat.shape[2:]))
+    return b"".join(
+        assemble_with_fallback(data, block_size, tuple(flats), valid,
+                               finals, num))

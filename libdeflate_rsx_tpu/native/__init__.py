@@ -16,7 +16,8 @@ import sysconfig
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_native.so")
-_SRC = os.path.join(_HERE, "assemble.c")
+_SRCS = [os.path.join(_HERE, "assemble.c"),
+         os.path.join(_HERE, "codec.c")]
 
 _lib = None
 _tried = False
@@ -25,10 +26,11 @@ _tried = False
 def _build() -> str | None:
     cc = os.environ.get("CC", "cc")
     try:
+        newest_src = max(os.path.getmtime(s) for s in _SRCS)
         if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_SO) < newest_src):
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, *_SRCS],
                 check=True, capture_output=True)
         return _SO
     except (OSError, subprocess.CalledProcessError):
@@ -52,6 +54,23 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
         lib.assemble_rows.restype = None
+        lib.deflate_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.deflate_c.restype = ctypes.c_int64
+        lib.inflate_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.inflate_c.restype = ctypes.c_int64
+        lib.crc32_c.argtypes = [
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64]
+        lib.crc32_c.restype = ctypes.c_uint32
+        lib.adler32_c.argtypes = [
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64]
+        lib.adler32_c.restype = ctypes.c_uint32
         _lib = lib
     except OSError:
         _lib = None

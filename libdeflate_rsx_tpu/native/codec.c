@@ -1,0 +1,889 @@
+/* Native host DEFLATE codec: encoder (levels 1-9), decoder, CRC-32,
+ * Adler-32. The host-tier speed path of the framework — the analog of the
+ * reference's Rust core (reference src/compress/mod.rs,
+ * src/decompress/mod.rs), written fresh in C against RFC 1951:
+ *
+ *  - encoder: hash-chain matchfinder (hash4 multiplicative), greedy
+ *    (levels 1-4) / lazy (levels 5-9) parse with per-level depth and
+ *    nice-length knobs, per-block stored/static/dynamic selection by
+ *    exact bit cost, optimal length-limited Huffman via package-merge,
+ *    precode RLE dynamic headers, 64-bit LSB-first bit buffer.
+ *  - decoder: flat 2^maxlen LSB-indexed decode tables (entry =
+ *    (sym << 4) | len, the same layout as the Python engine), 64-bit
+ *    refill, one-shot whole-buffer decode.
+ *  - checksums: slice-by-8 CRC-32, unrolled Adler-32.
+ *
+ * Python keeps the resumable/streaming engine; this file serves the
+ * one-shot hot paths via ctypes (see native/__init__.py).
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* constants                                                           */
+/* ------------------------------------------------------------------ */
+
+#define MIN_MATCH 3
+#define MAX_MATCH 258
+#define WINDOW 32768
+#define NUM_LITLEN 288
+#define NUM_OFFSET 32
+#define NUM_PRECODE 19
+#define MAX_LL_LEN 15
+#define MAX_OF_LEN 15
+#define MAX_PRE_LEN 7
+#define SOFT_BLOCK 300000
+#define HASH_BITS 15
+#define HASH_SIZE (1 << HASH_BITS)
+
+#define ERR_BADDATA (-1)
+#define ERR_SPACE (-2)
+#define ERR_SHORT (-3)
+
+static const uint16_t LEN_BASE[29] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+    35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const uint8_t LEN_EXTRA[29] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+    3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+static const uint16_t OFF_BASE[30] = {
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+    257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+    8193, 12289, 16385, 24577};
+static const uint8_t OFF_EXTRA[30] = {
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+    7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+static const uint8_t PRE_PERM[19] = {
+    16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+/* length -> symbol index 0..28 */
+static uint8_t LEN2SYM[MAX_MATCH + 1];
+/* small-offset -> symbol for offsets 1..256 */
+static uint8_t OFF2SYM_SMALL[257];
+static int tables_ready = 0;
+
+static void init_tables(void) {
+    if (tables_ready) return;
+    for (int s = 0; s < 29; s++) {
+        int hi = (s == 28) ? 258 : LEN_BASE[s + 1] - 1;
+        for (int l = LEN_BASE[s]; l <= hi && l <= MAX_MATCH; l++)
+            LEN2SYM[l] = (uint8_t)s;
+    }
+    LEN2SYM[258] = 28;
+    for (int s = 0; s < 30; s++) {
+        int hi = (s == 29) ? 32768 : OFF_BASE[s + 1] - 1;
+        for (int o = OFF_BASE[s]; o <= hi && o <= 256; o++)
+            OFF2SYM_SMALL[o] = (uint8_t)s;
+    }
+    tables_ready = 1;
+}
+
+static inline int off2sym(uint32_t off) {
+    if (off <= 256) return OFF2SYM_SMALL[off];
+    /* offsets 257..32768: binary-search-free via leading zeros */
+    int s = 29;
+    while (OFF_BASE[s] > off) s--;
+    return s;
+}
+
+/* ------------------------------------------------------------------ */
+/* bit writer (LSB-first)                                              */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint8_t *out, *end, *start;
+    uint64_t buf;
+    int n; /* bits in buf */
+    int overflow;
+} BitW;
+
+static inline void bw_init(BitW *w, uint8_t *out, int64_t cap) {
+    w->out = out; w->start = out; w->end = out + cap;
+    w->buf = 0; w->n = 0; w->overflow = 0;
+}
+
+static inline void bw_flushbytes(BitW *w) {
+    while (w->n >= 8) {
+        if (w->out >= w->end) { w->overflow = 1; return; }
+        *w->out++ = (uint8_t)w->buf;
+        w->buf >>= 8; w->n -= 8;
+    }
+}
+
+static inline void bw_put(BitW *w, uint32_t v, int bits) {
+    /* flush BEFORE writing: v << n must not run off the 64-bit buffer
+     * (single puts are <= 16 bits, so n <= 48 guarantees room) */
+    if (w->n > 48) bw_flushbytes(w);
+    w->buf |= (uint64_t)v << w->n;
+    w->n += bits;
+}
+
+static inline void bw_align(BitW *w) {
+    int pad = (8 - (w->n & 7)) & 7;
+    if (pad) bw_put(w, 0, pad);
+    bw_flushbytes(w);
+}
+
+static inline int64_t bw_finish(BitW *w) {
+    bw_align(w);
+    if (w->overflow) return ERR_SPACE;
+    return w->out - w->start;
+}
+
+/* ------------------------------------------------------------------ */
+/* package-merge length-limited Huffman                                */
+/* ------------------------------------------------------------------ */
+
+typedef struct { uint64_t w; int32_t left, right, sym; } PmNode;
+
+/* lens[] out; returns 0 ok */
+static int pm_lengths(const uint64_t *freq, int n, int limit, uint8_t *lens) {
+    static __thread PmNode pool[40000];
+    static __thread int32_t lists[2][1200];
+    int npool = 0;
+    int order[NUM_LITLEN];
+    int used = 0;
+    memset(lens, 0, (size_t)n);
+    for (int i = 0; i < n; i++) if (freq[i]) order[used++] = i;
+    if (used == 0) return 0;
+    if (used == 1) { lens[order[0]] = 1; return 0; }
+    /* sort used symbols by freq (stable insertion; n small) */
+    for (int i = 1; i < used; i++) {
+        int v = order[i]; int j = i - 1;
+        while (j >= 0 && freq[order[j]] > freq[v]) { order[j+1] = order[j]; j--; }
+        order[j + 1] = v;
+    }
+    /* leaves */
+    int32_t leaves[NUM_LITLEN];
+    for (int i = 0; i < used; i++) {
+        pool[npool] = (PmNode){freq[order[i]], -1, -1, order[i]};
+        leaves[i] = npool++;
+    }
+    int cur = 0, ncur = used;
+    for (int i = 0; i < used; i++) lists[cur][i] = leaves[i];
+    for (int level = 1; level < limit; level++) {
+        /* package pairs of current list, then merge with leaves */
+        int npack = ncur / 2;
+        int32_t packs[600];
+        for (int i = 0; i < npack; i++) {
+            int32_t a = lists[cur][2 * i], b = lists[cur][2 * i + 1];
+            pool[npool] = (PmNode){pool[a].w + pool[b].w, a, b, -1};
+            packs[i] = npool++;
+        }
+        int nxt = cur ^ 1, i = 0, j = 0, k = 0;
+        while (i < used && j < npack) {
+            if (pool[leaves[i]].w <= pool[packs[j]].w)
+                lists[nxt][k++] = leaves[i++];
+            else
+                lists[nxt][k++] = packs[j++];
+        }
+        while (i < used) lists[nxt][k++] = leaves[i++];
+        while (j < npack) lists[nxt][k++] = packs[j++];
+        cur = nxt; ncur = k;
+        if (npool > 38000) return -1; /* can't happen for n<=288,L<=15 */
+    }
+    /* take first 2(used-1) items; count leaf occurrences iteratively */
+    int take = 2 * (used - 1);
+    if (take > ncur) take = ncur;
+    int32_t stack[64 * 32]; int sp = 0;
+    for (int i = 0; i < take; i++) stack[sp++] = lists[cur][i];
+    while (sp > 0) {
+        int32_t nd = stack[--sp];
+        if (pool[nd].sym >= 0) { lens[pool[nd].sym]++; }
+        else { stack[sp++] = pool[nd].left; stack[sp++] = pool[nd].right; }
+        if (sp > 2040) { /* flush deep stacks defensively */
+            /* tree depth bounded by limit; cannot happen */
+            return -1;
+        }
+    }
+    return 0;
+}
+
+/* canonical codes, bit-reversed for LSB-first emission */
+static void canonical_codes(const uint8_t *lens, int n, uint16_t *codes) {
+    int counts[16] = {0};
+    for (int i = 0; i < n; i++) counts[lens[i]]++;
+    counts[0] = 0;
+    int next[17]; int code = 0;
+    for (int l = 1; l <= 15; l++) { code = (code + counts[l - 1]) << 1; next[l] = code; }
+    for (int i = 0; i < n; i++) {
+        int l = lens[i];
+        if (!l) { codes[i] = 0; continue; }
+        int c = next[l]++;
+        int rev = 0;
+        for (int b = 0; b < l; b++) { rev = (rev << 1) | (c & 1); c >>= 1; }
+        codes[i] = (uint16_t)rev;
+    }
+}
+
+/* a 1-symbol code is under-subscribed; add a dummy length-1 symbol */
+static void ensure_complete(uint8_t *lens, int n) {
+    int nz = -1, cnt = 0;
+    for (int i = 0; i < n; i++) if (lens[i]) { nz = i; cnt++; }
+    if (cnt == 1) { lens[nz] = 1; lens[nz == 0 ? 1 : 0] = 1; }
+    if (cnt == 0) { lens[0] = 1; lens[1] = 1; }
+}
+
+/* ------------------------------------------------------------------ */
+/* encoder                                                             */
+/* ------------------------------------------------------------------ */
+
+typedef struct { uint32_t litrun, len, off; } Seq;
+
+typedef struct {
+    int32_t head[HASH_SIZE];
+    int32_t prev_buf[0]; /* unused marker */
+} HashState;
+
+static inline uint32_t hash4(const uint8_t *p) {
+    uint32_t w;
+    memcpy(&w, p, 4);
+    return (w * 0x9E3779B1u) >> (32 - HASH_BITS);
+}
+
+static inline uint32_t match_len(const uint8_t *a, const uint8_t *b,
+                                 uint32_t max) {
+    uint32_t l = 0;
+    while (l + 8 <= max) {
+        uint64_t x, y;
+        memcpy(&x, a + l, 8);
+        memcpy(&y, b + l, 8);
+        uint64_t d = x ^ y;
+        if (d) return l + (uint32_t)(__builtin_ctzll(d) >> 3);
+        l += 8;
+    }
+    while (l < max && a[l] == b[l]) l++;
+    return l;
+}
+
+/* level -> (strategy greedy=0/lazy=1, depth, nice, lazy2) */
+static const int LEVEL_PARAMS[10][4] = {
+    {0, 0, 0, 0},
+    {0, 2, 16, 0}, {0, 8, 16, 0}, {0, 24, 32, 0}, {0, 48, 64, 0},
+    {1, 48, 48, 0}, {1, 128, 128, 0}, {1, 256, 160, 1},
+    {1, 1024, 258, 1}, {1, 4096, 258, 1},
+};
+
+typedef struct {
+    const uint8_t *buf;
+    int64_t n;
+    int32_t *head;   /* HASH_SIZE */
+    int32_t *prevl;  /* n */
+    int depth, nice, lazy, lazy2;
+} MF;
+
+static inline void mf_insert(MF *m, int64_t i) {
+    if (i + MIN_MATCH + 1 > m->n) return;
+    uint32_t h = hash4(m->buf + i);
+    m->prevl[i] = m->head[h];
+    m->head[h] = (int32_t)i;
+}
+
+static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
+                               uint32_t *off_out) {
+    if (i + MIN_MATCH + 1 > m->n || max < 4) return 0;
+    int32_t j = m->head[hash4(m->buf + i)];
+    int64_t limit = i - WINDOW;
+    int d = m->depth;
+    uint32_t best = 0, boff = 0;
+    const uint8_t *base = m->buf;
+    while (j >= 0 && j > limit && d-- > 0) {
+        if (base[j + best] == base[i + best]) {
+            uint32_t l = match_len(base + j, base + i, max);
+            if (l > best) {
+                best = l; boff = (uint32_t)(i - j);
+                if (l >= (uint32_t)m->nice) break;
+            }
+        }
+        j = m->prevl[j];
+    }
+    if (best < 4) return 0;
+    *off_out = boff;
+    return best;
+}
+
+/* emit one block given sequences; chooses stored/static/dynamic */
+static void static_lens(uint8_t *ll, uint8_t *of) {
+    for (int i = 0; i < 144; i++) ll[i] = 8;
+    for (int i = 144; i < 256; i++) ll[i] = 9;
+    for (int i = 256; i < 280; i++) ll[i] = 7;
+    for (int i = 280; i < 288; i++) ll[i] = 8;
+    for (int i = 0; i < 32; i++) of[i] = 5;
+}
+
+typedef struct {
+    uint8_t psyms[NUM_LITLEN + NUM_OFFSET + 8];
+    uint8_t pev[NUM_LITLEN + NUM_OFFSET + 8];
+    uint8_t peb[NUM_LITLEN + NUM_OFFSET + 8];
+    int np;
+    uint8_t pre_lens[NUM_PRECODE];
+    uint16_t pre_codes[NUM_PRECODE];
+    int num_explicit;
+    int hdr_bits;
+} DynHdr;
+
+static void build_dyn_header(const uint8_t *ll_lens, const uint8_t *of_lens,
+                             int num_ll, int num_of, DynHdr *h) {
+    uint8_t all[NUM_LITLEN + NUM_OFFSET];
+    int n = num_ll + num_of;
+    memcpy(all, ll_lens, (size_t)num_ll);
+    memcpy(all + num_ll, of_lens, (size_t)num_of);
+    h->np = 0;
+    int i = 0, prev = -1;
+    while (i < n) {
+        int v = all[i], run = 1;
+        while (i + run < n && all[i + run] == v) run++;
+        int r = run;
+        if (v == 0) {
+            while (r >= 11) {
+                int take = r > 138 ? 138 : r;
+                h->psyms[h->np] = 18; h->pev[h->np] = (uint8_t)(take - 11);
+                h->peb[h->np++] = 7; r -= take;
+            }
+            while (r >= 3) {
+                int take = r > 10 ? 10 : r;
+                h->psyms[h->np] = 17; h->pev[h->np] = (uint8_t)(take - 3);
+                h->peb[h->np++] = 3; r -= take;
+            }
+            for (; r > 0; r--) {
+                h->psyms[h->np] = 0; h->pev[h->np] = 0; h->peb[h->np++] = 0;
+            }
+        } else {
+            if (v != prev) {
+                h->psyms[h->np] = (uint8_t)v; h->pev[h->np] = 0;
+                h->peb[h->np++] = 0; r--;
+            }
+            while (r >= 3) {
+                int take = r > 6 ? 6 : r;
+                h->psyms[h->np] = 16; h->pev[h->np] = (uint8_t)(take - 3);
+                h->peb[h->np++] = 2; r -= take;
+            }
+            for (; r > 0; r--) {
+                h->psyms[h->np] = (uint8_t)v; h->pev[h->np] = 0;
+                h->peb[h->np++] = 0;
+            }
+        }
+        prev = v;
+        i += run;
+    }
+    uint64_t pf[NUM_PRECODE] = {0};
+    for (int k = 0; k < h->np; k++) pf[h->psyms[k]]++;
+    pm_lengths(pf, NUM_PRECODE, MAX_PRE_LEN, h->pre_lens);
+    ensure_complete(h->pre_lens, NUM_PRECODE);
+    canonical_codes(h->pre_lens, NUM_PRECODE, h->pre_codes);
+    int ne = NUM_PRECODE;
+    while (ne > 4 && h->pre_lens[PRE_PERM[ne - 1]] == 0) ne--;
+    h->num_explicit = ne;
+    int bits = 5 + 5 + 4 + 3 * ne;
+    for (int k = 0; k < h->np; k++)
+        bits += h->pre_lens[h->psyms[k]] + h->peb[k];
+    h->hdr_bits = bits;
+}
+
+static void write_block(BitW *w, const uint8_t *data, int64_t start,
+                        int64_t end, const Seq *seqs, int nseq,
+                        const uint8_t *lits, int final) {
+    /* frequencies */
+    uint64_t llf[NUM_LITLEN] = {0}, off_f[NUM_OFFSET] = {0};
+    {
+        const uint8_t *lp = lits;
+        for (int s = 0; s < nseq; s++) {
+            for (uint32_t k = 0; k < seqs[s].litrun; k++) llf[*lp++]++;
+            if (seqs[s].len) {
+                llf[257 + LEN2SYM[seqs[s].len]]++;
+                off_f[off2sym(seqs[s].off)]++;
+            }
+        }
+    }
+    llf[256]++;
+    uint8_t dll[NUM_LITLEN], dof[NUM_OFFSET];
+    pm_lengths(llf, NUM_LITLEN, MAX_LL_LEN, dll);
+    pm_lengths(off_f, NUM_OFFSET, MAX_OF_LEN, dof);
+    ensure_complete(dll, NUM_LITLEN);
+    ensure_complete(dof, 30);
+    int num_ll = NUM_LITLEN;
+    while (num_ll > 257 && dll[num_ll - 1] == 0) num_ll--;
+    int num_of = 30;
+    while (num_of > 1 && dof[num_of - 1] == 0) num_of--;
+    DynHdr hdr;
+    build_dyn_header(dll, dof, num_ll, num_of, &hdr);
+
+    uint8_t sll[NUM_LITLEN], sof[NUM_OFFSET];
+    static_lens(sll, sof);
+    int64_t body_dyn = 0, body_static = 0;
+    for (int s = 0; s < NUM_LITLEN; s++) {
+        int64_t extra = (s >= 257 && s <= 285) ? LEN_EXTRA[s - 257] : 0;
+        body_dyn += (int64_t)llf[s] * (dll[s] + extra);
+        body_static += (int64_t)llf[s] * (sll[s] + extra);
+    }
+    for (int s = 0; s < 30; s++) {
+        body_dyn += (int64_t)off_f[s] * (dof[s] + OFF_EXTRA[s]);
+        body_static += (int64_t)off_f[s] * (sof[s] + OFF_EXTRA[s]);
+    }
+    int64_t raw = end - start;
+    int64_t cost_dyn = 3 + hdr.hdr_bits + body_dyn;
+    int64_t cost_static = 3 + body_static;
+    int64_t nstored = raw / 65535 + 1;
+    int64_t cost_stored = nstored * 40 + raw * 8 + 7;
+
+    if (cost_stored < cost_dyn && cost_stored < cost_static) {
+        int64_t pos = start;
+        do {
+            int64_t chunk = end - pos > 65535 ? 65535 : end - pos;
+            int last = (pos + chunk == end);
+            bw_put(w, (final && last) ? 1 : 0, 3); /* BTYPE=00 */
+            bw_align(w);
+            bw_put(w, (uint32_t)chunk, 16);
+            bw_put(w, (uint32_t)(~chunk & 0xFFFF), 16);
+            bw_flushbytes(w);
+            if (w->out + chunk > w->end) { w->overflow = 1; return; }
+            memcpy(w->out, data + pos, (size_t)chunk);
+            w->out += chunk;
+            pos += chunk;
+        } while (pos < end);
+        return;
+    }
+
+    const uint8_t *ll_lens;
+    const uint8_t *of_lens;
+    uint16_t ll_codes[NUM_LITLEN], of_codes[NUM_OFFSET];
+    if (cost_static <= cost_dyn) {
+        bw_put(w, (final ? 1 : 0) | 2, 3); /* BTYPE=01 */
+        ll_lens = sll; of_lens = sof;
+    } else {
+        bw_put(w, (final ? 1 : 0) | 4, 3); /* BTYPE=10 */
+        bw_put(w, (uint32_t)(num_ll - 257), 5);
+        bw_put(w, (uint32_t)(num_of - 1), 5);
+        bw_put(w, (uint32_t)(hdr.num_explicit - 4), 4);
+        for (int k = 0; k < hdr.num_explicit; k++)
+            bw_put(w, hdr.pre_lens[PRE_PERM[k]], 3);
+        for (int k = 0; k < hdr.np; k++) {
+            int s = hdr.psyms[k];
+            bw_put(w, hdr.pre_codes[s], hdr.pre_lens[s]);
+            if (hdr.peb[k]) bw_put(w, hdr.pev[k], hdr.peb[k]);
+        }
+        ll_lens = dll; of_lens = dof;
+    }
+    canonical_codes(ll_lens, NUM_LITLEN, ll_codes);
+    canonical_codes(of_lens, NUM_OFFSET, of_codes);
+
+    const uint8_t *lp = lits;
+    for (int s = 0; s < nseq; s++) {
+        for (uint32_t k = 0; k < seqs[s].litrun; k++) {
+            uint8_t b = *lp++;
+            bw_put(w, ll_codes[b], ll_lens[b]);
+        }
+        if (seqs[s].len) {
+            int ls = LEN2SYM[seqs[s].len];
+            bw_put(w, ll_codes[257 + ls], ll_lens[257 + ls]);
+            if (LEN_EXTRA[ls])
+                bw_put(w, seqs[s].len - LEN_BASE[ls], LEN_EXTRA[ls]);
+            int os = off2sym(seqs[s].off);
+            bw_put(w, of_codes[os], of_lens[os]);
+            if (OFF_EXTRA[os])
+                bw_put(w, seqs[s].off - OFF_BASE[os], OFF_EXTRA[os]);
+        }
+        bw_flushbytes(w);
+    }
+    bw_put(w, ll_codes[256], ll_lens[256]); /* EOB */
+    bw_flushbytes(w);
+}
+
+/* deflate_c: buf holds history (hist_len bytes) + payload.
+ * flush: 1 = SYNC (trailing empty stored block, byte aligned), 2 = FINISH.
+ * Returns compressed size or negative error. */
+int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
+                  int level, int flush, uint8_t *out, int64_t out_cap,
+                  int32_t *work /* HASH_SIZE + total_len int32 */) {
+    init_tables();
+    BitW w;
+    bw_init(&w, out, out_cap);
+    int64_t n = total_len;
+    if (level < 1 || level > 9) return ERR_BADDATA;
+    if (hist_len > total_len) return ERR_BADDATA;
+
+    if (total_len > hist_len) {
+        const int *lp = LEVEL_PARAMS[level];
+        MF mf;
+        mf.buf = buf; mf.n = n;
+        mf.head = work;
+        mf.prevl = work + HASH_SIZE;
+        mf.depth = lp[1]; mf.nice = lp[2]; mf.lazy = lp[0]; mf.lazy2 = lp[3];
+        for (int i = 0; i < HASH_SIZE; i++) mf.head[i] = -1;
+        for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
+
+        static __thread Seq seqs[SOFT_BLOCK / 3 + 16];
+        static __thread uint8_t lits[SOFT_BLOCK + 16];
+
+        int64_t bstart = hist_len;
+        while (bstart < n) {
+            int64_t bend = bstart + SOFT_BLOCK < n ? bstart + SOFT_BLOCK : n;
+            int nseq = 0;
+            int64_t nlit = 0;
+            uint32_t litrun = 0;
+            int64_t i = bstart;
+            uint32_t held_len = 0, held_off = 0;
+            while (i < bend) {
+                uint32_t maxl = (uint32_t)(n - i);
+                if (maxl > MAX_MATCH) maxl = MAX_MATCH;
+                /* keep matches inside the block for clean block splits */
+                if ((uint32_t)(bend - i) < maxl) maxl = (uint32_t)(bend - i);
+                uint32_t off = 0;
+                uint32_t len = mf_find(&mf, i, maxl, &off);
+                mf_insert(&mf, i);
+                if (mf.lazy && held_len >= 4) {
+                    /* previous position holds a match; compare */
+                    int better = len > held_len ||
+                        (mf.lazy2 && len == held_len && off && off < held_off);
+                    if (better && held_len < (uint32_t)mf.nice) {
+                        lits[nlit++] = buf[i - 1];
+                        litrun++;
+                        held_len = len; held_off = off;
+                        i++;
+                        continue;
+                    }
+                    /* commit held match at i-1 */
+                    seqs[nseq].litrun = litrun; litrun = 0;
+                    seqs[nseq].len = held_len;
+                    seqs[nseq].off = held_off;
+                    nseq++;
+                    int64_t stop = i - 1 + held_len;
+                    for (int64_t q = i + 1; q < stop; q++) mf_insert(&mf, q);
+                    i = stop;
+                    held_len = 0;
+                    continue;
+                }
+                if (len >= 4) {
+                    if (mf.lazy && len < (uint32_t)mf.nice) {
+                        held_len = len; held_off = off;
+                        i++;
+                        continue;
+                    }
+                    seqs[nseq].litrun = litrun; litrun = 0;
+                    seqs[nseq].len = len;
+                    seqs[nseq].off = off;
+                    nseq++;
+                    int64_t stop = i + len;
+                    for (int64_t q = i + 1; q < stop; q++) mf_insert(&mf, q);
+                    i = stop;
+                } else {
+                    lits[nlit++] = buf[i];
+                    litrun++;
+                    i++;
+                }
+            }
+            if (held_len >= 4) {
+                /* held match extends to block end */
+                seqs[nseq].litrun = litrun; litrun = 0;
+                seqs[nseq].len = held_len;
+                seqs[nseq].off = held_off;
+                nseq++;
+            }
+            if (litrun || nseq == 0) {
+                seqs[nseq].litrun = litrun;
+                seqs[nseq].len = 0; seqs[nseq].off = 0;
+                nseq++;
+            }
+            int final = (flush == 2) && (bend == n);
+            write_block(&w, buf, bstart, bend, seqs, nseq, lits, final);
+            if (w.overflow) return ERR_SPACE;
+            bstart = bend;
+        }
+    } else if (flush == 2) {
+        /* empty final stored block */
+        bw_put(&w, 1, 3);
+        bw_align(&w);
+        bw_put(&w, 0, 16);
+        bw_put(&w, 0xFFFF, 16);
+    }
+
+    if (flush == 1) {
+        /* SYNC: empty stored block, leaves the stream byte-aligned */
+        bw_put(&w, 0, 3);
+        bw_align(&w);
+        bw_put(&w, 0, 16);
+        bw_put(&w, 0xFFFF, 16);
+    }
+    return bw_finish(&w);
+}
+
+/* ------------------------------------------------------------------ */
+/* decoder                                                             */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const uint8_t *in, *end;
+    uint64_t buf;
+    int n;
+} BitR;
+
+static inline void br_refill(BitR *r) {
+    while (r->n <= 56 && r->in < r->end) {
+        r->buf |= (uint64_t)(*r->in++) << r->n;
+        r->n += 8;
+    }
+}
+
+static inline uint32_t br_bits(BitR *r, int nb) {
+    return (uint32_t)(r->buf & ((1u << nb) - 1));
+}
+
+static inline void br_consume(BitR *r, int nb) {
+    r->buf >>= nb;
+    r->n -= nb;
+}
+
+/* flat decode table: entry = (sym << 4) | len; 0 invalid */
+static int build_table(const uint8_t *lens, int nsym, int maxlen,
+                       int32_t *table) {
+    int counts[16] = {0};
+    for (int i = 0; i < nsym; i++) counts[lens[i]]++;
+    counts[0] = 0;
+    int64_t used = 0;
+    for (int l = 1; l <= maxlen; l++) used += (int64_t)counts[l] << (maxlen - l);
+    if (used > (1 << maxlen)) return ERR_BADDATA;
+    memset(table, 0, sizeof(int32_t) << maxlen);
+    int next[17]; int code = 0;
+    for (int l = 1; l <= maxlen; l++) { code = (code + counts[l - 1]) << 1; next[l] = code; }
+    for (int sym = 0; sym < nsym; sym++) {
+        int l = lens[sym];
+        if (!l) continue;
+        int c = next[l]++;
+        int rev = 0;
+        for (int b = 0; b < l; b++) { rev = (rev << 1) | (c & 1); c >>= 1; }
+        int32_t entry = (sym << 4) | l;
+        int step = 1 << l;
+        for (int idx = rev; idx < (1 << maxlen); idx += step) table[idx] = entry;
+    }
+    return 0;
+}
+
+/* returns output size or negative error; *consumed = input bytes used */
+int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
+                  int64_t out_cap, int64_t *consumed) {
+    init_tables();
+    BitR r = {in, in + in_len, 0, 0};
+    uint8_t *op = out, *oend = out + out_cap;
+    static __thread int32_t ll_table[1 << 15];
+    static __thread int32_t of_table[1 << 15];
+    int ll_bits = 0, of_bits = 0;
+
+    for (;;) {
+        br_refill(&r);
+        if (r.n < 3) return ERR_SHORT;
+        uint32_t hdr = br_bits(&r, 3);
+        br_consume(&r, 3);
+        int final = hdr & 1;
+        int btype = hdr >> 1;
+        if (btype == 0) {
+            /* stored */
+            br_consume(&r, r.n & 7);
+            br_refill(&r);
+            if (r.n < 32) return ERR_SHORT;
+            uint32_t len = br_bits(&r, 16); br_consume(&r, 16);
+            uint32_t nlen = br_bits(&r, 16); br_consume(&r, 16);
+            if (len != (~nlen & 0xFFFF)) return ERR_BADDATA;
+            /* bytes still in bitbuf first */
+            while (len && r.n >= 8) {
+                if (op >= oend) return ERR_SPACE;
+                *op++ = (uint8_t)br_bits(&r, 8);
+                br_consume(&r, 8);
+                len--;
+            }
+            if ((int64_t)len > r.end - r.in) return ERR_SHORT;
+            if (op + len > oend) return ERR_SPACE;
+            memcpy(op, r.in, len);
+            op += len;
+            r.in += len;
+        } else if (btype == 1 || btype == 2) {
+            uint8_t dll[NUM_LITLEN], dof[NUM_OFFSET];
+            if (btype == 1) {
+                static_lens(dll, dof);
+                ll_bits = 9; of_bits = 5;
+            } else {
+                br_refill(&r);
+                if (r.n < 14) return ERR_SHORT;
+                int num_ll = (int)br_bits(&r, 5) + 257; br_consume(&r, 5);
+                int num_of = (int)br_bits(&r, 5) + 1; br_consume(&r, 5);
+                int ne = (int)br_bits(&r, 4) + 4; br_consume(&r, 4);
+                if (num_ll > 286 || num_of > 30) return ERR_BADDATA;
+                uint8_t plens[NUM_PRECODE] = {0};
+                for (int k = 0; k < ne; k++) {
+                    br_refill(&r);
+                    if (r.n < 3) return ERR_SHORT;
+                    plens[PRE_PERM[k]] = (uint8_t)br_bits(&r, 3);
+                    br_consume(&r, 3);
+                }
+                int32_t ptab[1 << 7];
+                if (build_table(plens, NUM_PRECODE, 7, ptab)) return ERR_BADDATA;
+                uint8_t all[NUM_LITLEN + NUM_OFFSET];
+                int tot = num_ll + num_of, i = 0;
+                while (i < tot) {
+                    br_refill(&r);
+                    int32_t e = ptab[br_bits(&r, 7)];
+                    int l = e & 0xF;
+                    if (!l || l > r.n) return l ? ERR_SHORT : ERR_BADDATA;
+                    br_consume(&r, l);
+                    int sym = e >> 4;
+                    if (sym <= 15) {
+                        all[i++] = (uint8_t)sym;
+                    } else if (sym == 16) {
+                        if (i == 0) return ERR_BADDATA;
+                        br_refill(&r);
+                        if (r.n < 2) return ERR_SHORT;
+                        int rep = 3 + (int)br_bits(&r, 2); br_consume(&r, 2);
+                        if (i + rep > tot) return ERR_BADDATA;
+                        for (int q = 0; q < rep; q++) { all[i] = all[i - 1]; i++; }
+                    } else if (sym == 17) {
+                        br_refill(&r);
+                        if (r.n < 3) return ERR_SHORT;
+                        int rep = 3 + (int)br_bits(&r, 3); br_consume(&r, 3);
+                        if (i + rep > tot) return ERR_BADDATA;
+                        while (rep--) all[i++] = 0;
+                    } else {
+                        br_refill(&r);
+                        if (r.n < 7) return ERR_SHORT;
+                        int rep = 11 + (int)br_bits(&r, 7); br_consume(&r, 7);
+                        if (i + rep > tot) return ERR_BADDATA;
+                        while (rep--) all[i++] = 0;
+                    }
+                }
+                memset(dll, 0, sizeof dll);
+                memset(dof, 0, sizeof dof);
+                memcpy(dll, all, (size_t)num_ll);
+                memcpy(dof, all + num_ll, (size_t)num_of);
+                if (dll[256] == 0) return ERR_BADDATA;
+                ll_bits = 0; of_bits = 0;
+                for (int q = 0; q < NUM_LITLEN; q++)
+                    if (dll[q] > ll_bits) ll_bits = dll[q];
+                for (int q = 0; q < NUM_OFFSET; q++)
+                    if (dof[q] > of_bits) of_bits = dof[q];
+                if (!of_bits) of_bits = 1;
+            }
+            if (build_table(dll, NUM_LITLEN, ll_bits, ll_table))
+                return ERR_BADDATA;
+            if (build_table(dof, NUM_OFFSET, of_bits, of_table))
+                return ERR_BADDATA;
+            uint32_t ll_mask = (1u << ll_bits) - 1;
+            uint32_t of_mask = (1u << of_bits) - 1;
+            for (;;) {
+                br_refill(&r);
+                int32_t e = ll_table[(uint32_t)r.buf & ll_mask];
+                int l = e & 0xF;
+                if (!l) return ERR_BADDATA;
+                if (l > r.n) return ERR_SHORT;
+                br_consume(&r, l);
+                int sym = e >> 4;
+                if (sym < 256) {
+                    if (op >= oend) return ERR_SPACE;
+                    *op++ = (uint8_t)sym;
+                    continue;
+                }
+                if (sym == 256) break;
+                if (sym > 285) return ERR_BADDATA;
+                int ls = sym - 257;
+                uint32_t len = LEN_BASE[ls];
+                if (LEN_EXTRA[ls]) {
+                    br_refill(&r);
+                    if (r.n < LEN_EXTRA[ls]) return ERR_SHORT;
+                    len += br_bits(&r, LEN_EXTRA[ls]);
+                    br_consume(&r, LEN_EXTRA[ls]);
+                }
+                br_refill(&r);
+                int32_t oe = of_table[(uint32_t)r.buf & of_mask];
+                int ol = oe & 0xF;
+                if (!ol) return ERR_BADDATA;
+                if (ol > r.n) return ERR_SHORT;
+                br_consume(&r, ol);
+                int osym = oe >> 4;
+                if (osym > 29) return ERR_BADDATA;
+                uint32_t off = OFF_BASE[osym];
+                if (OFF_EXTRA[osym]) {
+                    br_refill(&r);
+                    if (r.n < OFF_EXTRA[osym]) return ERR_SHORT;
+                    off += br_bits(&r, OFF_EXTRA[osym]);
+                    br_consume(&r, OFF_EXTRA[osym]);
+                }
+                if ((int64_t)off > op - out) return ERR_BADDATA;
+                if (op + len > oend) return ERR_SPACE;
+                const uint8_t *src = op - off;
+                if (off >= 8) {
+                    uint8_t *dst = op;
+                    op += len;
+                    while (len >= 8) {
+                        memcpy(dst, src, 8);
+                        dst += 8; src += 8; len -= 8;
+                    }
+                    while (len--) *dst++ = *src++;
+                } else {
+                    uint8_t *dst = op;
+                    op += len;
+                    while (len--) *dst++ = *src++;
+                }
+            }
+        } else {
+            return ERR_BADDATA;
+        }
+        if (final) break;
+    }
+    if (consumed)
+        *consumed = (r.in - in) - (r.n >> 3);
+    return op - out;
+}
+
+/* ------------------------------------------------------------------ */
+/* checksums                                                           */
+/* ------------------------------------------------------------------ */
+
+static uint32_t crc_tab[8][256];
+static int crc_ready = 0;
+
+static void crc_init(void) {
+    if (crc_ready) return;
+    for (int b = 0; b < 256; b++) {
+        uint32_t c = (uint32_t)b;
+        for (int k = 0; k < 8; k++)
+            c = (c >> 1) ^ (0xEDB88320u & (0u - (c & 1)));
+        crc_tab[0][b] = c;
+    }
+    for (int t = 1; t < 8; t++)
+        for (int b = 0; b < 256; b++)
+            crc_tab[t][b] = (crc_tab[t - 1][b] >> 8)
+                ^ crc_tab[0][crc_tab[t - 1][b] & 0xFF];
+    crc_ready = 1;
+}
+
+uint32_t crc32_c(uint32_t crc, const uint8_t *p, int64_t n) {
+    crc_init();
+    crc = ~crc;
+    while (n && ((uintptr_t)p & 7)) { crc = (crc >> 8) ^ crc_tab[0][(crc ^ *p++) & 0xFF]; n--; }
+    while (n >= 8) {
+        uint64_t w;
+        memcpy(&w, p, 8);
+        w ^= crc;
+        crc = crc_tab[7][w & 0xFF] ^ crc_tab[6][(w >> 8) & 0xFF]
+            ^ crc_tab[5][(w >> 16) & 0xFF] ^ crc_tab[4][(w >> 24) & 0xFF]
+            ^ crc_tab[3][(w >> 32) & 0xFF] ^ crc_tab[2][(w >> 40) & 0xFF]
+            ^ crc_tab[1][(w >> 48) & 0xFF] ^ crc_tab[0][(w >> 56) & 0xFF];
+        p += 8; n -= 8;
+    }
+    while (n--) crc = (crc >> 8) ^ crc_tab[0][(crc ^ *p++) & 0xFF];
+    return ~crc;
+}
+
+uint32_t adler32_c(uint32_t adler, const uint8_t *p, int64_t n) {
+    uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
+    while (n > 0) {
+        int64_t chunk = n > 5552 ? 5552 : n;
+        n -= chunk;
+        while (chunk >= 16) {
+            for (int k = 0; k < 16; k++) { s1 += p[k]; s2 += s1; }
+            p += 16; chunk -= 16;
+        }
+        while (chunk--) { s1 += *p++; s2 += s1; }
+        s1 %= 65521; s2 %= 65521;
+    }
+    return (s2 << 16) | s1;
+}

@@ -139,6 +139,24 @@ GRID = 256  # run-relative emission grid (must divide into MAX_MATCH_LEN-2)
 TILE = 32   # long-match threshold: matches >= TILE chain on the run grid
 WTILE = 64  # short-match walk tile (exact greedy within each cell)
 _INF = jnp.int32(1 << 28)
+_SCAN_CHUNK = 256
+
+
+def _two_level(op, x: jnp.ndarray, chunk: int = _SCAN_CHUNK) -> jnp.ndarray:
+    """Inclusive forward prefix scan of a commutative-idempotent op
+    (max/min) in two levels: within-chunk scans plus a chunk-carry scan.
+    ~half the full-array passes of a flat associative_scan — each pass
+    carries a fixed dispatch cost on this runtime."""
+    n = x.shape[0]
+    r = n // chunk
+    x2 = x.reshape(r, chunk)
+    within = jax.lax.associative_scan(op, x2, axis=1)
+    totals = within[:, -1]
+    tot = jax.lax.associative_scan(op, totals)
+    carry = jnp.concatenate([totals[:1] * 0 + x[0], tot[:-1]])  # see below
+    # row 0 gets x[0] as its carry, which within-row idempotence absorbs
+    # (max/min), so no identity element is needed.
+    return op(within, carry[:, None]).reshape(n)
 
 
 def select_tokens(ml: jnp.ndarray, dist: jnp.ndarray,
@@ -174,49 +192,69 @@ def select_tokens(ml: jnp.ndarray, dist: jnp.ndarray,
     prev_m = jnp.concatenate([jnp.zeros(1, bool), matched[:-1]])
     prev_d = jnp.concatenate([jnp.zeros(1, jnp.int32), dist[:-1]])
     boundary = ~(matched & prev_m & (dist == prev_d))
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(boundary, pos, -1))
+    run_start = _two_level(jnp.maximum, jnp.where(boundary, pos, -1))
     ml_run = jnp.minimum(ml, GRID - ((pos - run_start) % GRID))
     long_ok = matched & (ml_run >= TILE)
     raw_end = jnp.where(long_ok, pos + ml_run, 0)
-    rawmax = jax.lax.associative_scan(jnp.maximum, raw_end)
+    rawmax = _two_level(jnp.maximum, raw_end)
     rawmax_excl = jnp.concatenate([jnp.zeros(1, jnp.int32), rawmax[:-1]])
     sel1 = long_ok & (rawmax_excl <= pos)
     sel1_end = jnp.where(sel1, pos + ml_run, 0)
-    selmax = jax.lax.associative_scan(jnp.maximum, sel1_end)
+    selmax = _two_level(jnp.maximum, sel1_end)
     selmax_excl = jnp.concatenate([jnp.zeros(1, jnp.int32), selmax[:-1]])
     covered = selmax_excl > pos               # inside a phase-1 match body
 
     # --- phase 2: exact greedy walk per WTILE cell over the gaps ---------
-    nxt1 = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(sel1, pos, _INF), reverse=True)
+    # short matches are capped at their cell boundary, so the next-sel1
+    # cap only needs WITHIN-CELL lookahead: a tile-local reverse scan
+    nt0 = s // WTILE
+    nxt1_t = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(sel1, pos, _INF).reshape(nt0, WTILE),
+        axis=1, reverse=True)
+    nxt1 = nxt1_t.reshape(s)
     nxt1_excl = jnp.concatenate([nxt1[1:], jnp.full(1, _INF, jnp.int32)])
+    # positions at cell ends take the next cell's first value: those have
+    # ml_short capped to <= 1 anyway, so the in-cell approximation is safe
     ml_short = jnp.minimum(ml, WTILE - (pos & (WTILE - 1)))
     ml_short = jnp.minimum(ml_short, nxt1_excl - pos)
     short_ok = matched & ~sel1 & ~covered & (ml_short >= MIN_MATCH)
 
-    step = jnp.where(short_ok, ml_short, 1).astype(jnp.uint8)
     nt = s // WTILE
-    step_t = step.reshape(nt, WTILE)
-    uncov = (~covered & ~sel1).reshape(nt, WTILE)  # walkable entry bytes
     lane = jnp.arange(WTILE, dtype=jnp.int32)[None, :]
-    entry = jnp.min(jnp.where(uncov | sel1.reshape(nt, WTILE), lane, WTILE),
-                    axis=1)
-
+    # next short-match candidate at-or-after each position, tile-local
+    nxt_short = jax.lax.associative_scan(
+        jnp.minimum,
+        jnp.where(short_ok.reshape(nt, WTILE), lane, _INF),
+        axis=1, reverse=True)
+    nxt_t = jnp.clip(nxt_short, 0, WTILE)
+    ml_t = ml_short.reshape(nt, WTILE)
+    # exact greedy walk per cell, jumping candidate-to-candidate: each
+    # iteration selects one match (everything skipped in between is a
+    # literal or sel1-covered byte), so the trip count is bounded by
+    # WTILE/MIN_MATCH + 1 instead of WTILE. (A matrix-power MXU
+    # reachability variant was measured SLOWER: 16K batched 64x64
+    # squarings are memory-bound.)
     def body(_, st):
-        cur, vis = st
-        oh = lane == cur[:, None]
-        sp = jnp.max(jnp.where(oh, step_t.astype(jnp.int32), 0), axis=1)
-        return (jnp.minimum(cur + jnp.maximum(sp, 1), WTILE), vis | oh)
+        cur, vis, s2 = st
+        cand = jnp.max(jnp.where(lane == jnp.minimum(cur, WTILE - 1)[:, None],
+                                 nxt_t, 0), axis=1)
+        cand = jnp.where(cur >= WTILE, WTILE, cand)
+        vis = vis | ((lane >= cur[:, None]) & (lane < cand[:, None]))
+        oh = lane == cand[:, None]
+        s2 = s2 | oh
+        ml_at = jnp.max(jnp.where(oh, ml_t, 0), axis=1)
+        return (jnp.where(cand >= WTILE, WTILE, cand + ml_at), vis, s2)
 
     # data-dependent all-False init keeps the carry "varying" under
     # shard_map (a literal constant would be replicated and fail to match
     # the loop output's manual-axes type)
-    vis0 = step_t < jnp.uint8(0)
-    _, visited = jax.lax.fori_loop(0, WTILE, body, (entry, vis0))
+    vis0 = ml_t < 0
+    cur0 = jnp.zeros(nt, jnp.int32) + (ml_t[:, 0] - ml_t[:, 0])
+    _, visited, sel2_t = jax.lax.fori_loop(
+        0, WTILE // MIN_MATCH + 1, body, (cur0, vis0, vis0))
     visited = visited.reshape(s)
+    sel2 = sel2_t.reshape(s) & short_ok
 
-    sel2 = visited & short_ok
     lit = visited & in_range & ~covered & ~sel1 & ~sel2
     sel = sel1 | sel2
     ml_emit = jnp.where(sel1, ml_run, ml_short)
@@ -316,6 +354,28 @@ def encode_rows_static(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
 def jit_encoder(block_size: int):
     f = functools.partial(encode_rows_static, block_size=block_size)
     return jax.jit(jax.vmap(f, in_axes=(0, 0, 0)))
+
+
+@functools.lru_cache(maxsize=8)
+def jit_encoder_scan(block_size: int, unroll: int = 8):
+    """Encoder over (k, B, S+PAD) chunked batches: an UNROLLED loop of
+    independent chunk subgraphs inside one jit.
+
+    Two hardware facts drive this shape (measured): queued programs
+    execute sequentially on the core, so separate dispatches never
+    overlap; but XLA freely interleaves independent subgraphs WITHIN one
+    program, hiding each chunk's long dependency chain (sorts + scans)
+    behind its neighbors' — unrolled chunks run ~15 ms each vs ~200 ms
+    serially. lax.scan would re-serialize them; a python loop in the
+    traced function keeps them independent."""
+    f = jax.vmap(functools.partial(encode_rows_static,
+                                   block_size=block_size))
+
+    def run(blocks, valids, finals):
+        outs = [f(blocks[i], valids[i], finals[i]) for i in range(unroll)]
+        return tuple(jnp.stack([o[j] for o in outs]) for j in range(5))
+
+    return jax.jit(run)
 
 
 def assemble_blocks(rows: np.ndarray, byte_off: np.ndarray,

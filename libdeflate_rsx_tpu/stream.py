@@ -17,7 +17,8 @@ resumable `Inflater` state machine with a growing input buffer (32 KiB →
 from __future__ import annotations
 
 from .common import WINDOW_SIZE
-from .models.portable.deflate import Flush, deflate_host
+from .engine import compress_raw
+from .models.portable.deflate import Flush
 from .models.portable.inflate import Inflater
 from .utils.errors import DecompressStatus, ShortInputError
 
@@ -90,7 +91,7 @@ class DeflateEncoder:
         data = bytes(self._buf)
         self._buf.clear()
         if not data:
-            out = deflate_host(b"", self._level,
+            out = compress_raw(b"", self._level,
                                Flush.FINISH if final else Flush.SYNC,
                                history=self._history)
             self._writer.write(out)
@@ -100,7 +101,7 @@ class DeflateEncoder:
             end = min(pos + CHUNK_SIZE, len(data))
             last = end == len(data)
             chunk = data[pos:end]
-            out = deflate_host(
+            out = compress_raw(
                 chunk, self._level,
                 Flush.FINISH if (final and last) else Flush.SYNC,
                 history=self._history)
