@@ -4,8 +4,7 @@ reference engine otherwise.
 The reference's host path is a single native implementation; this build
 keeps two tiers — native/codec.c for speed, models/portable/ as the
 bit-exact reference and fallback (also the streaming/resumable engine) —
-selected here. Levels 0 and 10-12 always use the Python engine (stored
-blocks / the near-optimal DP parser).
+selected here. Level 0 always uses the Python engine (stored blocks).
 """
 
 from __future__ import annotations
@@ -23,8 +22,8 @@ _FLUSH_CODE = {Flush.SYNC: 1, Flush.FINISH: 2}
 
 def compress_raw(data: bytes, level: int, flush: Flush = Flush.FINISH,
                  history: bytes = b"") -> bytes:
-    """Raw DEFLATE at any level, native fast path for 1-9."""
-    if 1 <= level <= 9 and len(data) > 0:
+    """Raw DEFLATE at any level, native fast path for 1-12."""
+    if 1 <= level <= 12 and len(data) > 0:
         from .native.host import native_deflate
         out = native_deflate(data, level, _FLUSH_CODE[flush], history)
         if out is not None:

@@ -19,6 +19,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 #include <string.h>
 
 /* ------------------------------------------------------------------ */
@@ -269,16 +270,24 @@ static const int LEVEL_PARAMS[10][4] = {
 typedef struct {
     const uint8_t *buf;
     int64_t n;
-    int32_t *head;   /* HASH_SIZE */
+    int32_t *head;   /* HASH_SIZE (hash4 chains) */
+    int32_t *head3;  /* HASH_SIZE (hash3 single probe) */
     int32_t *prevl;  /* n */
     int depth, nice, lazy, lazy2;
 } MF;
+
+static inline uint32_t hash3(const uint8_t *p) {
+    uint32_t w;
+    memcpy(&w, p, 4);
+    return ((w & 0xFFFFFF) * 0x9E3779B1u) >> (32 - HASH_BITS);
+}
 
 static inline void mf_insert(MF *m, int64_t i) {
     if (i + MIN_MATCH + 1 > m->n) return;
     uint32_t h = hash4(m->buf + i);
     m->prevl[i] = m->head[h];
     m->head[h] = (int32_t)i;
+    m->head3[hash3(m->buf + i)] = (int32_t)i;
 }
 
 static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
@@ -491,12 +500,221 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
     bw_flushbytes(w);
 }
 
+/* -------- near-optimal DP parser (levels 10-12) ---------------------- */
+/* The reference's two-pass scheme (reference src/compress/mod.rs:
+ * 1586-1773): collect Pareto matches per position, shortest-path DP over
+ * bit costs with a static-code cost model, then refresh costs from the
+ * implied Huffman code and re-parse. Fresh implementation. */
+
+#define MAXC 12  /* Pareto candidates kept per position */
+
+typedef struct { uint16_t len; uint16_t dummy; uint32_t off; } Cand;
+
+static int mf_find_all(MF *m, int64_t i, uint32_t max, Cand *out) {
+    if (i + MIN_MATCH + 1 > m->n || max < 3) return 0;
+    int64_t limit = i - WINDOW;
+    int nc = 0;
+    const uint8_t *base = m->buf;
+    /* single-probe hash3: a length-3 candidate at close range (the
+     * reference's HT tier; far 3-matches cost more than literals) */
+    int32_t j3 = m->head3[hash3(base + i)];
+    if (j3 >= 0 && i - j3 <= 4096 && j3 > limit
+            && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
+            && base[j3 + 2] == base[i + 2]) {
+        out[nc].len = 3;
+        out[nc].off = (uint32_t)(i - j3);
+        nc++;
+    }
+    if (max < 4) return nc;
+    int32_t j = m->head[hash4(base + i)];
+    int d = m->depth;
+    uint32_t best = 3;
+    while (j >= 0 && j > limit && d-- > 0 && nc < MAXC) {
+        if (base[j + best] == base[i + best]) {
+            uint32_t l = match_len(base + j, base + i, max);
+            if (l > best) {
+                out[nc].len = (uint16_t)l;
+                out[nc].off = (uint32_t)(i - j);
+                nc++;
+                best = l;
+                if (l >= max) break;
+            }
+        }
+        j = m->prevl[j];
+    }
+    return nc;
+}
+
+static void optimal_parse(MF *m, const uint8_t *buf, int64_t bstart,
+                          int64_t bend, int64_t n_total,
+                          const uint8_t *ll_cost, const uint8_t *of_cost,
+                          Cand *cands, uint8_t *ncand,
+                          uint16_t *choice_len, uint32_t *choice_off,
+                          uint32_t *cost) {
+    int64_t n = bend - bstart;
+    cost[n] = 0;
+    for (int64_t i = n - 1; i >= 0; i--) {
+        int64_t p = bstart + i;
+        uint32_t best = ll_cost[buf[p]] + cost[i + 1];
+        uint16_t bl = 1;
+        uint32_t bo = 0;
+        const Cand *c = cands + (size_t)i * MAXC;
+        uint32_t prev_len = 2;
+        for (int k = 0; k < ncand[i]; k++) {
+            uint32_t off = c[k].off;
+            int os = off2sym(off);
+            uint32_t oc = of_cost[os] + OFF_EXTRA[os];
+            for (uint32_t l = prev_len + 1; l <= c[k].len; l++) {
+                int ls = LEN2SYM[l];
+                uint32_t cc = ll_cost[257 + ls] + LEN_EXTRA[ls] + oc
+                    + cost[i + l];
+                if (cc < best) { best = cc; bl = (uint16_t)l; bo = off; }
+            }
+            prev_len = c[k].len;
+        }
+        cost[i] = best;
+        choice_len[i] = bl;
+        choice_off[i] = bo;
+    }
+    (void)n_total;
+}
+
+static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
+                               int64_t total_len, int level, int flush,
+                               uint8_t *out, int64_t out_cap,
+                               int32_t *work) {
+    BitW w;
+    bw_init(&w, out, out_cap);
+    int64_t n = total_len;
+    MF mf;
+    mf.buf = buf; mf.n = n;
+    mf.head = work;
+    mf.head3 = work + HASH_SIZE;
+    mf.prevl = work + 2 * HASH_SIZE;
+    mf.depth = level == 10 ? 64 : (level == 11 ? 192 : 512);
+    mf.nice = MAX_MATCH;
+    for (int i = 0; i < 2 * HASH_SIZE; i++) work[i] = -1;
+    for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
+
+    int64_t maxb = SOFT_BLOCK;
+    Cand *cands = malloc(sizeof(Cand) * (size_t)maxb * MAXC);
+    uint8_t *ncand = malloc((size_t)maxb);
+    uint16_t *choice_len = malloc(sizeof(uint16_t) * (size_t)maxb);
+    uint32_t *choice_off = malloc(sizeof(uint32_t) * (size_t)maxb);
+    uint32_t *cost = malloc(sizeof(uint32_t) * ((size_t)maxb + 1));
+    Seq *seqs = malloc(sizeof(Seq) * ((size_t)maxb / 3 + 16));
+    uint8_t *lits = malloc((size_t)maxb + 16);
+    if (!cands || !ncand || !choice_len || !choice_off || !cost
+            || !seqs || !lits) {
+        free(cands); free(ncand); free(choice_len); free(choice_off);
+        free(cost); free(seqs); free(lits);
+        return ERR_BADDATA;
+    }
+
+    int64_t bstart = hist_len;
+    while (bstart < n) {
+        int64_t bend = bstart + maxb < n ? bstart + maxb : n;
+        int64_t bn = bend - bstart;
+        /* collect Pareto matches per position */
+        for (int64_t i = bstart; i < bend; i++) {
+            uint32_t maxl = (uint32_t)(n - i);
+            if (maxl > MAX_MATCH) maxl = MAX_MATCH;
+            if ((uint32_t)(bend - i) < maxl) maxl = (uint32_t)(bend - i);
+            int nc = mf_find_all(&mf, i, maxl, cands + (i - bstart) * MAXC);
+            ncand[i - bstart] = (uint8_t)nc;
+            mf_insert(&mf, i);
+            if (nc && cands[(i - bstart) * MAXC + nc - 1].len >= 128) {
+                /* long match: skip interior (it will be taken whole) */
+                uint32_t l = cands[(i - bstart) * MAXC + nc - 1].len;
+                int64_t stop = i + l < bend ? i + l : bend;
+                for (int64_t q = i + 1; q < stop; q++) {
+                    mf_insert(&mf, q);
+                    ncand[q - bstart] = 0;
+                }
+                i = stop - 1;
+            }
+        }
+        /* pass 1: static-code costs; pass 2: refreshed Huffman costs */
+        uint8_t llc[NUM_LITLEN], ofc[NUM_OFFSET];
+        static_lens(llc, ofc);
+        int nseq = 0;
+        int64_t nlit = 0;
+        int npass = level >= 11 ? 3 : 2;
+        for (int pass = 0; pass < npass; pass++) {
+            optimal_parse(&mf, buf, bstart, bend, n, llc, ofc, cands,
+                          ncand, choice_len, choice_off, cost);
+            /* walk the chosen path into sequences */
+            nseq = 0; nlit = 0;
+            uint32_t litrun = 0;
+            uint64_t llf[NUM_LITLEN] = {0}, off_f[NUM_OFFSET] = {0};
+            int64_t i = 0;
+            while (i < bn) {
+                if (choice_off[i] == 0) {
+                    lits[nlit++] = buf[bstart + i];
+                    llf[buf[bstart + i]]++;
+                    litrun++;
+                    i += 1;
+                } else {
+                    seqs[nseq].litrun = litrun; litrun = 0;
+                    seqs[nseq].len = choice_len[i];
+                    seqs[nseq].off = choice_off[i];
+                    llf[257 + LEN2SYM[choice_len[i]]]++;
+                    off_f[off2sym(choice_off[i])]++;
+                    nseq++;
+                    i += choice_len[i];
+                }
+            }
+            if (litrun || nseq == 0) {
+                seqs[nseq].litrun = litrun;
+                seqs[nseq].len = 0; seqs[nseq].off = 0;
+                nseq++;
+            }
+            if (pass < npass - 1) {
+                llf[256]++;
+                pm_lengths(llf, NUM_LITLEN, MAX_LL_LEN, llc);
+                pm_lengths(off_f, NUM_OFFSET, MAX_OF_LEN, ofc);
+                for (int s = 0; s < NUM_LITLEN; s++)
+                    if (!llc[s]) llc[s] = MAX_LL_LEN + 2;
+                for (int s = 0; s < NUM_OFFSET; s++)
+                    if (!ofc[s]) ofc[s] = MAX_OF_LEN + 2;
+            }
+        }
+        int final = (flush == 2) && (bend == n);
+        write_block(&w, buf, bstart, bend, seqs, nseq, lits, final);
+        if (w.overflow) break;
+        bstart = bend;
+    }
+    free(cands); free(ncand); free(choice_len); free(choice_off);
+    free(cost); free(seqs); free(lits);
+    if (w.overflow) return ERR_SPACE;
+
+    if (total_len == hist_len && flush == 2) {
+        bw_put(&w, 1, 3);
+        bw_align(&w);
+        bw_put(&w, 0, 16);
+        bw_put(&w, 0xFFFF, 16);
+    }
+    if (flush == 1) {
+        bw_put(&w, 0, 3);
+        bw_align(&w);
+        bw_put(&w, 0, 16);
+        bw_put(&w, 0xFFFF, 16);
+    }
+    return bw_finish(&w);
+}
+
 /* deflate_c: buf holds history (hist_len bytes) + payload.
  * flush: 1 = SYNC (trailing empty stored block, byte aligned), 2 = FINISH.
  * Returns compressed size or negative error. */
 int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                   int level, int flush, uint8_t *out, int64_t out_cap,
                   int32_t *work /* HASH_SIZE + total_len int32 */) {
+    if (level >= 10 && level <= 12) {
+        init_tables();
+        if (hist_len > total_len) return ERR_BADDATA;
+        return deflate_optimal(buf, hist_len, total_len, level, flush,
+                               out, out_cap, work);
+    }
     init_tables();
     BitW w;
     bw_init(&w, out, out_cap);
@@ -509,9 +727,10 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
         MF mf;
         mf.buf = buf; mf.n = n;
         mf.head = work;
-        mf.prevl = work + HASH_SIZE;
+        mf.head3 = work + HASH_SIZE;
+        mf.prevl = work + 2 * HASH_SIZE;
         mf.depth = lp[1]; mf.nice = lp[2]; mf.lazy = lp[0]; mf.lazy2 = lp[3];
-        for (int i = 0; i < HASH_SIZE; i++) mf.head[i] = -1;
+        for (int i = 0; i < 2 * HASH_SIZE; i++) work[i] = -1;
         for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
 
         static __thread Seq seqs[SOFT_BLOCK / 3 + 16];

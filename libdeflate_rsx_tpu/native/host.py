@@ -30,7 +30,7 @@ _work_cache = np.zeros(0, np.int32)
 
 def _work(total: int) -> np.ndarray:
     global _work_cache
-    need = _HASH_SIZE + total
+    need = 2 * _HASH_SIZE + total
     if _work_cache.size < need:
         _work_cache = np.zeros(int(need * 1.5) + 1024, np.int32)
     return _work_cache
@@ -42,10 +42,10 @@ def native_available() -> bool:
 
 def native_deflate(data: bytes, level: int, flush: int,
                    history: bytes = b"") -> bytes | None:
-    """Raw DEFLATE of `data` (with LZ history), levels 1-9.
+    """Raw DEFLATE of `data` (with LZ history), levels 1-12.
     flush: 1 = SYNC, 2 = FINISH. None => no native library."""
     lib = get_lib()
-    if lib is None or not (1 <= level <= 9):
+    if lib is None or not (1 <= level <= 12):
         return None
     buf = history + data
     total = len(buf)
