@@ -292,25 +292,36 @@ static inline void mf_insert(MF *m, int64_t i) {
 
 static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
                                uint32_t *off_out) {
-    if (i + MIN_MATCH + 1 > m->n || max < 4) return 0;
-    int32_t j = m->head[hash4(m->buf + i)];
+    if (i + MIN_MATCH + 1 > m->n || max < 3) return 0;
     int64_t limit = i - WINDOW;
-    int d = m->depth;
-    uint32_t best = 0, boff = 0;
     const uint8_t *base = m->buf;
-    while (j >= 0 && j > limit && d-- > 0) {
-        if (base[j + best] == base[i + best]) {
-            uint32_t l = match_len(base + j, base + i, max);
-            if (l > best) {
-                best = l; boff = (uint32_t)(i - j);
-                if (l >= (uint32_t)m->nice) break;
+    uint32_t best = 0, boff = 0;
+    if (max >= 4) {
+        int32_t j = m->head[hash4(base + i)];
+        int d = m->depth;
+        while (j >= 0 && j > limit && d-- > 0) {
+            if (base[j + best] == base[i + best]) {
+                uint32_t l = match_len(base + j, base + i, max);
+                if (l > best) {
+                    best = l; boff = (uint32_t)(i - j);
+                    if (l >= (uint32_t)m->nice) break;
+                }
             }
+            j = m->prevl[j];
         }
-        j = m->prevl[j];
     }
-    if (best < 4) return 0;
-    *off_out = boff;
-    return best;
+    if (best >= 4) { *off_out = boff; return best; }
+    if (m->depth < 24) return 0;   /* speed tiers skip 3-byte matches */
+    /* fall back to a close length-3 match (single-probe hash3): worth
+     * at most when nearby — a far 3-match costs more than 3 literals */
+    int32_t j3 = m->head3[hash3(base + i)];
+    if (j3 >= 0 && i - j3 <= 1024 && j3 > limit
+            && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
+            && base[j3 + 2] == base[i + 2]) {
+        *off_out = (uint32_t)(i - j3);
+        return 3;
+    }
+    return 0;
 }
 
 /* emit one block given sequences; chooses stored/static/dynamic */
@@ -752,7 +763,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                 uint32_t off = 0;
                 uint32_t len = mf_find(&mf, i, maxl, &off);
                 mf_insert(&mf, i);
-                if (mf.lazy && held_len >= 4) {
+                if (mf.lazy && held_len >= 3) {
                     /* previous position holds a match; compare */
                     int better = len > held_len ||
                         (mf.lazy2 && len == held_len && off && off < held_off);
@@ -774,7 +785,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                     held_len = 0;
                     continue;
                 }
-                if (len >= 4) {
+                if (len >= 3) {
                     if (mf.lazy && len < (uint32_t)mf.nice) {
                         held_len = len; held_off = off;
                         i++;
@@ -793,7 +804,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                     i++;
                 }
             }
-            if (held_len >= 4) {
+            if (held_len >= 3) {
                 /* held match extends to block end */
                 seqs[nseq].litrun = litrun; litrun = 0;
                 seqs[nseq].len = held_len;
