@@ -99,6 +99,12 @@ class Compressor:
         out[: len(result)] = result
         return len(result)
 
+    def compress_to_size(self, data: bytes) -> int:
+        """Exact compressed size for `data` at this level without
+        returning the stream (the reference's compress_to_size estimator,
+        reference src/compress/mod.rs:1073-1094 — here exact)."""
+        return len(self.compress_deflate(data))
+
     def compress_deflate_into(self, data, out) -> int:
         return self._into(self.compress_deflate, data, out)
 
