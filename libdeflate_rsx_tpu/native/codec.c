@@ -890,6 +890,93 @@ static int build_table(const uint8_t *lens, int nsym, int maxlen,
     return 0;
 }
 
+/* two-level decode table (cache-resident root + subtables, the scheme of
+ * the reference's build_decode_table, reference src/decompress/
+ * mod.rs:1324-1495, re-derived):
+ *   root entry, codeword len <= root_bits: (sym << 4) | len  (len < 0xF)
+ *   root entry, longer codes: (sub_base << 8) | (sub_bits << 4) | 0xF
+ *   subtable entry: (sym << 4) | full_len
+ * Total size stays within 1 << 15 int32 for any valid code. */
+static int build_table2(const uint8_t *lens, int nsym, int root_bits,
+                        int32_t *table) {
+    int counts[16] = {0};
+    int maxlen = 0;
+    for (int i = 0; i < nsym; i++) {
+        counts[lens[i]]++;
+        if (lens[i] > maxlen) maxlen = lens[i];
+    }
+    counts[0] = 0;
+    if (maxlen == 0) { memset(table, 0, sizeof(int32_t) << root_bits); return 0; }
+    int64_t used = 0;
+    for (int l = 1; l <= 15; l++) used += (int64_t)counts[l] << (15 - l);
+    if (used > (1 << 15)) return ERR_BADDATA;
+    int root_size = 1 << root_bits;
+    memset(table, 0, sizeof(int32_t) * (size_t)root_size);
+    int next[17]; int code = 0;
+    for (int l = 1; l <= 15; l++) { code = (code + counts[l - 1]) << 1; next[l] = code; }
+    int next2[17];
+    memcpy(next2, next, sizeof next);
+    /* pre-pass: per-root-prefix max subtable bits for long codes */
+    static __thread uint8_t submax[1 << 12];
+    memset(submax, 0, (size_t)root_size);
+    for (int sym = 0; sym < nsym; sym++) {
+        int l = lens[sym];
+        if (l <= root_bits) { if (l) next[l]++; continue; }
+        int c = next[l]++;
+        int rev = 0;
+        for (int b = 0; b < l; b++) { rev = (rev << 1) | (c & 1); c >>= 1; }
+        int prefix = rev & (root_size - 1);
+        if (l - root_bits > submax[prefix]) submax[prefix] = (uint8_t)(l - root_bits);
+    }
+    int alloc = root_size;
+    for (int sym = 0; sym < nsym; sym++) {
+        int l = lens[sym];
+        if (!l) continue;
+        int c = next2[l]++;
+        int rev = 0;
+        for (int b = 0; b < l; b++) { rev = (rev << 1) | (c & 1); c >>= 1; }
+        if (l <= root_bits) {
+            int32_t entry = (sym << 4) | l;
+            int step = 1 << l;
+            for (int idx = rev; idx < root_size; idx += step)
+                table[idx] = entry;
+        } else {
+            int prefix = rev & (root_size - 1);
+            int sub_bits = submax[prefix];
+            int32_t re = table[prefix];
+            int sub_base;
+            if ((re & 0xF) != 0xF) {
+                sub_base = alloc;
+                alloc += 1 << sub_bits;
+                if (alloc > (1 << 15)) return ERR_BADDATA;
+                memset(table + sub_base, 0,
+                       sizeof(int32_t) << sub_bits);
+                table[prefix] = (sub_base << 8) | (sub_bits << 4) | 0xF;
+            } else {
+                sub_base = re >> 8;
+            }
+            int hi = rev >> root_bits;
+            int step = 1 << (l - root_bits);
+            int32_t entry = (sym << 4) | l;
+            for (int idx = hi; idx < (1 << sub_bits); idx += step)
+                table[sub_base + idx] = entry;
+        }
+    }
+    return 0;
+}
+
+/* decode one symbol via a two-level table; returns entry or 0 invalid */
+static inline int32_t tab2_lookup(const int32_t *table, uint64_t buf,
+                                  int root_bits) {
+    int32_t e = table[(uint32_t)buf & ((1u << root_bits) - 1)];
+    if ((e & 0xF) == 0xF) {
+        int sub_bits = (e >> 4) & 0xF;
+        e = table[(e >> 8) + (int)((buf >> root_bits)
+                                   & ((1u << sub_bits) - 1))];
+    }
+    return e;
+}
+
 /* returns output size or negative error; *consumed = input bytes used */
 int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                   int64_t out_cap, int64_t *consumed) {
@@ -992,15 +1079,75 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                     if (dof[q] > of_bits) of_bits = dof[q];
                 if (!of_bits) of_bits = 1;
             }
-            if (build_table(dll, NUM_LITLEN, ll_bits, ll_table))
+            if (build_table2(dll, NUM_LITLEN, 10, ll_table))
                 return ERR_BADDATA;
-            if (build_table(dof, NUM_OFFSET, of_bits, of_table))
+            if (build_table2(dof, NUM_OFFSET, 8, of_table))
                 return ERR_BADDATA;
-            uint32_t ll_mask = (1u << ll_bits) - 1;
-            uint32_t of_mask = (1u << of_bits) - 1;
+            /* fast loop: with >=300 output and >=16 input bytes of slack,
+             * one refill covers a whole literal burst or a full match
+             * (<=48 bits incl. extras) with no intermediate checks —
+             * the analog of the reference's unchecked fast loop
+             * (reference src/decompress/mod.rs:628-770) */
+            int eob = 0;
+            while (!eob && op + 300 <= oend && r.end - r.in >= 16) {
+                br_refill(&r);
+                int32_t e = tab2_lookup(ll_table, r.buf, 10);
+                int l = e & 0xF;
+                if (!l) return ERR_BADDATA;
+                br_consume(&r, l);
+                int sym = e >> 4;
+                if (sym < 256) {
+                    *op++ = (uint8_t)sym;
+                    /* burst: two more literals fit in the refill margin */
+                    e = tab2_lookup(ll_table, r.buf, 10);
+                    l = e & 0xF;
+                    sym = e >> 4;
+                    if (l && sym < 256 && l <= r.n) {
+                        br_consume(&r, l);
+                        *op++ = (uint8_t)sym;
+                        e = tab2_lookup(ll_table, r.buf, 10);
+                        l = e & 0xF;
+                        sym = e >> 4;
+                        if (l && sym < 256 && l <= r.n) {
+                            br_consume(&r, l);
+                            *op++ = (uint8_t)sym;
+                        }
+                    }
+                    continue;
+                }
+                if (sym == 256) { eob = 1; break; }
+                if (sym > 285) return ERR_BADDATA;
+                int ls = sym - 257;
+                uint32_t len = LEN_BASE[ls] + br_bits(&r, LEN_EXTRA[ls]);
+                br_consume(&r, LEN_EXTRA[ls]);
+                int32_t oe = tab2_lookup(of_table, r.buf, 8);
+                int ol = oe & 0xF;
+                if (!ol) return ERR_BADDATA;
+                br_consume(&r, ol);
+                int osym = oe >> 4;
+                if (osym > 29) return ERR_BADDATA;
+                uint32_t off = OFF_BASE[osym] + br_bits(&r, OFF_EXTRA[osym]);
+                br_consume(&r, OFF_EXTRA[osym]);
+                if ((int64_t)off > op - out) return ERR_BADDATA;
+                const uint8_t *src = op - off;
+                uint8_t *dst = op;
+                op += len;
+                if (off >= 8) {
+                    /* margins allow 8-byte over-copy */
+                    do {
+                        memcpy(dst, src, 8);
+                        dst += 8; src += 8;
+                    } while (dst < op);
+                } else {
+                    while (dst < op) *dst++ = *src++;
+                }
+            }
+            if (eob) {
+                if (final) break; else continue;
+            }
             for (;;) {
                 br_refill(&r);
-                int32_t e = ll_table[(uint32_t)r.buf & ll_mask];
+                int32_t e = tab2_lookup(ll_table, r.buf, 10);
                 int l = e & 0xF;
                 if (!l) return ERR_BADDATA;
                 if (l > r.n) return ERR_SHORT;
@@ -1022,7 +1169,7 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                     br_consume(&r, LEN_EXTRA[ls]);
                 }
                 br_refill(&r);
-                int32_t oe = of_table[(uint32_t)r.buf & of_mask];
+                int32_t oe = tab2_lookup(of_table, r.buf, 8);
                 int ol = oe & 0xF;
                 if (!ol) return ERR_BADDATA;
                 if (ol > r.n) return ERR_SHORT;
