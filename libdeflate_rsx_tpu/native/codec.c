@@ -259,6 +259,56 @@ static inline uint32_t match_len(const uint8_t *a, const uint8_t *b,
     return l;
 }
 
+/* ------------------------------------------------------------------ */
+/* adaptive block splitter                                             */
+/* ------------------------------------------------------------------ */
+/* The reference ends a dynamic block early when the observed symbol
+ * distribution drifts (reference src/compress/mod.rs:271-416: 14
+ * observation classes, checked every 2048 observations). Fresh design
+ * with the same signal classes: 8 literal-MSB buckets, 2 match-length
+ * buckets, 4 offset-magnitude buckets; split when the recent window's
+ * distribution diverges from the block-so-far by more than 25% (L1). */
+
+#define SPLIT_CHECK_EVERY 2048
+#define SPLIT_MIN_BLOCK 5000
+
+typedef struct {
+    uint32_t blk[14], rec[14];
+    uint32_t blk_total, rec_total;
+} Split;
+
+static inline void split_reset(Split *s) { memset(s, 0, sizeof *s); }
+
+static inline void split_obs_lit(Split *s, uint8_t lit) {
+    s->rec[lit >> 5]++;
+    s->rec_total++;
+}
+
+static inline void split_obs_match(Split *s, uint32_t len, uint32_t off) {
+    s->rec[8 + (len >= 16)]++;
+    int b = (31 - __builtin_clz(off)) >> 2;
+    s->rec[10 + (b > 3 ? 3 : b)]++;
+    s->rec_total += 2;
+}
+
+static inline int split_check(Split *s) {
+    int decide = 0;
+    if (s->blk_total >= 2 * SPLIT_CHECK_EVERY) {
+        int64_t div = 0;
+        for (int k = 0; k < 14; k++) {
+            int64_t d = (int64_t)s->rec[k] * s->blk_total
+                - (int64_t)s->blk[k] * s->rec_total;
+            if (d < 0) d = -d;
+            div += d / s->blk_total;   /* deviation in recent-window units */
+        }
+        decide = div * 4 > (int64_t)s->rec_total;
+    }
+    for (int k = 0; k < 14; k++) { s->blk[k] += s->rec[k]; s->rec[k] = 0; }
+    s->blk_total += s->rec_total;
+    s->rec_total = 0;
+    return decide;
+}
+
 /* level -> (strategy greedy=0/lazy=1, depth, nice, lazy2) */
 static const int LEVEL_PARAMS[10][4] = {
     {0, 0, 0, 0},
@@ -755,7 +805,15 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
             uint32_t litrun = 0;
             int64_t i = bstart;
             uint32_t held_len = 0, held_off = 0;
+            Split sp;
+            split_reset(&sp);
             while (i < bend) {
+                if (sp.rec_total >= SPLIT_CHECK_EVERY && held_len == 0) {
+                    if (split_check(&sp) && i - bstart >= SPLIT_MIN_BLOCK) {
+                        bend = i;    /* distribution drifted: end block */
+                        break;
+                    }
+                }
                 uint32_t maxl = (uint32_t)(n - i);
                 if (maxl > MAX_MATCH) maxl = MAX_MATCH;
                 /* keep matches inside the block for clean block splits */
@@ -770,6 +828,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                     if (better && held_len < (uint32_t)mf.nice) {
                         lits[nlit++] = buf[i - 1];
                         litrun++;
+                        split_obs_lit(&sp, buf[i - 1]);
                         held_len = len; held_off = off;
                         i++;
                         continue;
@@ -778,6 +837,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                     seqs[nseq].litrun = litrun; litrun = 0;
                     seqs[nseq].len = held_len;
                     seqs[nseq].off = held_off;
+                    split_obs_match(&sp, held_len, held_off);
                     nseq++;
                     int64_t stop = i - 1 + held_len;
                     for (int64_t q = i + 1; q < stop; q++) mf_insert(&mf, q);
@@ -794,6 +854,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                     seqs[nseq].litrun = litrun; litrun = 0;
                     seqs[nseq].len = len;
                     seqs[nseq].off = off;
+                    split_obs_match(&sp, len, off);
                     nseq++;
                     int64_t stop = i + len;
                     for (int64_t q = i + 1; q < stop; q++) mf_insert(&mf, q);
@@ -801,6 +862,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                 } else {
                     lits[nlit++] = buf[i];
                     litrun++;
+                    split_obs_lit(&sp, buf[i]);
                     i++;
                 }
             }
