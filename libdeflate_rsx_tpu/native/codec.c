@@ -1200,8 +1200,20 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                         memcpy(dst, src, 8);
                         dst += 8; src += 8;
                     } while (dst < op);
+                } else if (off == 1) {
+                    memset(dst, *src, (size_t)(op - dst) + 7);
                 } else {
-                    while (dst < op) *dst++ = *src++;
+                    /* pattern broadcast (the reference's prepare_pattern,
+                     * reference src/decompress/mod.rs:1258-1317): build
+                     * an 8-byte repeating pattern and stamp it with a
+                     * stride of the largest multiple of off <= 8 */
+                    uint8_t pat[16];
+                    for (int k = 0; k < 8; k++) pat[k] = src[k % off];
+                    int stride = (8 / (int)off) * (int)off;
+                    do {
+                        memcpy(dst, pat, 8);
+                        dst += stride;
+                    } while (dst < op);
                 }
             }
             if (eob) {
