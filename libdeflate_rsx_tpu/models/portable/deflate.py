@@ -10,7 +10,7 @@ Architecture differences from the reference (deliberate, TPU-first):
  - Emission is two-phase everywhere: parsing produces token arrays
    (value, nbits), and a single vectorized numpy scan+scatter packer
    assembles the bitstream. This is the same algorithm the TPU bit-packer
-   uses (ops/bitpack.py), so host and device share one emission model
+   uses (ops/encode_v2.py), so host and device share one emission model
    instead of the reference's speculative 64-bit bitbuffer writer
    (reference src/compress/bitstream.rs).
  - Huffman codes come from optimal package-merge (models/portable/huffman.py)
@@ -89,7 +89,7 @@ class TokenStream:
     Tracks the running bit count so stored blocks can compute their byte
     alignment padding exactly. The packer writes each token's shifted value
     into 8 byte planes with scatter-add; token bit ranges are disjoint so
-    add == or. The TPU packer (ops/bitpack.py) uses the same scheme.
+    add == or. The TPU packer (ops/encode_v2.py) uses the same scheme.
     """
 
     def __init__(self, start_bits: int = 0) -> None:

@@ -49,11 +49,15 @@ from ...utils.errors import BadDataError, DecompressStatus
 _ENTRY_LEN_MASK = 0xF
 
 
-def build_decode_table(lens: np.ndarray, num_syms: int, max_len: int) -> np.ndarray:
+def build_decode_table(lens: np.ndarray, num_syms: int, max_len: int,
+                       allow_single: bool = False) -> np.ndarray:
     """Build a flat 2^max_len LSB-indexed decode table from codeword lengths.
 
-    Rejects over-subscribed codes; under-subscribed codes leave invalid
-    (zero) entries that surface as BadData only if actually referenced.
+    Rejects over-subscribed AND incomplete codes (zlib / reference
+    build_decode_table strictness). With ``allow_single`` (the main
+    litlen/offset tables), the RFC 1951 single-code exception applies:
+    one code of one bit is accepted, and an entirely empty offset code
+    is accepted (errors surface only if an entry is referenced).
     """
     lens = np.asarray(lens[:num_syms], dtype=np.int64)
     counts = np.bincount(lens, minlength=max_len + 1)
@@ -63,6 +67,11 @@ def build_decode_table(lens: np.ndarray, num_syms: int, max_len: int) -> np.ndar
     used = int(np.sum(counts[1:max_len + 1] << (max_len - np.arange(1, max_len + 1))))
     if used > space:
         raise BadDataError("over-subscribed Huffman code")
+    if used < space:
+        actual_max = int(np.max(np.nonzero(counts)[0])) if used else 0
+        single_ok = allow_single and (used == 0 or actual_max == 1)
+        if not single_ok:
+            raise BadDataError("incomplete Huffman code")
 
     table = np.zeros(1 << max_len, dtype=np.int32)
     # canonical first code per length
@@ -233,10 +242,10 @@ class Inflater:
             raise BadDataError("no end-of-block code")
         return _Tables(
             build_decode_table(litlen_lens, NUM_LITLEN_SYMS,
-                               MAX_LITLEN_CODEWORD_LEN),
+                               MAX_LITLEN_CODEWORD_LEN, allow_single=True),
             MAX_LITLEN_CODEWORD_LEN,
             build_decode_table(offset_lens, NUM_OFFSET_SYMS,
-                               MAX_OFFSET_CODEWORD_LEN),
+                               MAX_OFFSET_CODEWORD_LEN, allow_single=True),
             MAX_OFFSET_CODEWORD_LEN,
         )
 

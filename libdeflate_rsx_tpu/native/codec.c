@@ -98,11 +98,12 @@ typedef struct {
     uint64_t buf;
     int n; /* bits in buf */
     int overflow;
+    int error; /* sticky internal error (e.g. Huffman build failure) */
 } BitW;
 
 static inline void bw_init(BitW *w, uint8_t *out, int64_t cap) {
     w->out = out; w->start = out; w->end = out + cap;
-    w->buf = 0; w->n = 0; w->overflow = 0;
+    w->buf = 0; w->n = 0; w->overflow = 0; w->error = 0;
 }
 
 static inline void bw_flushbytes(BitW *w) {
@@ -129,6 +130,7 @@ static inline void bw_align(BitW *w) {
 
 static inline int64_t bw_finish(BitW *w) {
     bw_align(w);
+    if (w->error) return w->error;
     if (w->overflow) return ERR_SPACE;
     return w->out - w->start;
 }
@@ -354,7 +356,9 @@ static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
                 uint32_t l = match_len(base + j, base + i, max);
                 if (l > best) {
                     best = l; boff = (uint32_t)(i - j);
-                    if (l >= (uint32_t)m->nice) break;
+                    /* also stop when the match saturates max: otherwise
+                     * base[i + best] below reads one past the input */
+                    if (l >= (uint32_t)m->nice || l >= max) break;
                 }
             }
             j = m->prevl[j];
@@ -394,8 +398,8 @@ typedef struct {
     int hdr_bits;
 } DynHdr;
 
-static void build_dyn_header(const uint8_t *ll_lens, const uint8_t *of_lens,
-                             int num_ll, int num_of, DynHdr *h) {
+static int build_dyn_header(const uint8_t *ll_lens, const uint8_t *of_lens,
+                            int num_ll, int num_of, DynHdr *h) {
     uint8_t all[NUM_LITLEN + NUM_OFFSET];
     int n = num_ll + num_of;
     memcpy(all, ll_lens, (size_t)num_ll);
@@ -440,7 +444,8 @@ static void build_dyn_header(const uint8_t *ll_lens, const uint8_t *of_lens,
     }
     uint64_t pf[NUM_PRECODE] = {0};
     for (int k = 0; k < h->np; k++) pf[h->psyms[k]]++;
-    pm_lengths(pf, NUM_PRECODE, MAX_PRE_LEN, h->pre_lens);
+    if (pm_lengths(pf, NUM_PRECODE, MAX_PRE_LEN, h->pre_lens))
+        return ERR_BADDATA;
     ensure_complete(h->pre_lens, NUM_PRECODE);
     canonical_codes(h->pre_lens, NUM_PRECODE, h->pre_codes);
     int ne = NUM_PRECODE;
@@ -450,6 +455,7 @@ static void build_dyn_header(const uint8_t *ll_lens, const uint8_t *of_lens,
     for (int k = 0; k < h->np; k++)
         bits += h->pre_lens[h->psyms[k]] + h->peb[k];
     h->hdr_bits = bits;
+    return 0;
 }
 
 static void write_block(BitW *w, const uint8_t *data, int64_t start,
@@ -469,8 +475,11 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
     }
     llf[256]++;
     uint8_t dll[NUM_LITLEN], dof[NUM_OFFSET];
-    pm_lengths(llf, NUM_LITLEN, MAX_LL_LEN, dll);
-    pm_lengths(off_f, NUM_OFFSET, MAX_OF_LEN, dof);
+    if (pm_lengths(llf, NUM_LITLEN, MAX_LL_LEN, dll)
+            || pm_lengths(off_f, NUM_OFFSET, MAX_OF_LEN, dof)) {
+        w->error = ERR_BADDATA;
+        return;
+    }
     ensure_complete(dll, NUM_LITLEN);
     ensure_complete(dof, 30);
     int num_ll = NUM_LITLEN;
@@ -478,7 +487,10 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
     int num_of = 30;
     while (num_of > 1 && dof[num_of - 1] == 0) num_of--;
     DynHdr hdr;
-    build_dyn_header(dll, dof, num_ll, num_of, &hdr);
+    if (build_dyn_header(dll, dof, num_ll, num_of, &hdr)) {
+        w->error = ERR_BADDATA;
+        return;
+    }
 
     uint8_t sll[NUM_LITLEN], sof[NUM_OFFSET];
     static_lens(sll, sof);
@@ -732,8 +744,11 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
             }
             if (pass < npass - 1) {
                 llf[256]++;
-                pm_lengths(llf, NUM_LITLEN, MAX_LL_LEN, llc);
-                pm_lengths(off_f, NUM_OFFSET, MAX_OF_LEN, ofc);
+                if (pm_lengths(llf, NUM_LITLEN, MAX_LL_LEN, llc)
+                        || pm_lengths(off_f, NUM_OFFSET, MAX_OF_LEN, ofc)) {
+                    w.error = ERR_BADDATA;
+                    break;
+                }
                 for (int s = 0; s < NUM_LITLEN; s++)
                     if (!llc[s]) llc[s] = MAX_LL_LEN + 2;
                 for (int s = 0; s < NUM_OFFSET; s++)
@@ -741,12 +756,14 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
             }
         }
         int final = (flush == 2) && (bend == n);
-        write_block(&w, buf, bstart, bend, seqs, nseq, lits, final);
-        if (w.overflow) break;
+        if (!w.error)
+            write_block(&w, buf, bstart, bend, seqs, nseq, lits, final);
+        if (w.overflow || w.error) break;
         bstart = bend;
     }
     free(cands); free(ncand); free(choice_len); free(choice_off);
     free(cost); free(seqs); free(lits);
+    if (w.error) return w.error;
     if (w.overflow) return ERR_SPACE;
 
     if (total_len == hist_len && flush == 2) {
@@ -880,6 +897,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
             }
             int final = (flush == 2) && (bend == n);
             write_block(&w, buf, bstart, bend, seqs, nseq, lits, final);
+            if (w.error) return w.error;
             if (w.overflow) return ERR_SPACE;
             bstart = bend;
         }
@@ -927,7 +945,10 @@ static inline void br_consume(BitR *r, int nb) {
     r->n -= nb;
 }
 
-/* flat decode table: entry = (sym << 4) | len; 0 invalid */
+/* flat decode table: entry = (sym << 4) | len; 0 invalid.
+ * Rejects over-subscribed AND incomplete codes (zlib strictness for the
+ * precode; the single-code exception applies only to the main tables,
+ * see build_table2). */
 static int build_table(const uint8_t *lens, int nsym, int maxlen,
                        int32_t *table) {
     int counts[16] = {0};
@@ -935,7 +956,7 @@ static int build_table(const uint8_t *lens, int nsym, int maxlen,
     counts[0] = 0;
     int64_t used = 0;
     for (int l = 1; l <= maxlen; l++) used += (int64_t)counts[l] << (maxlen - l);
-    if (used > (1 << maxlen)) return ERR_BADDATA;
+    if (used != (1 << maxlen)) return ERR_BADDATA;
     memset(table, 0, sizeof(int32_t) << maxlen);
     int next[17]; int code = 0;
     for (int l = 1; l <= maxlen; l++) { code = (code + counts[l - 1]) << 1; next[l] = code; }
@@ -972,6 +993,10 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
     int64_t used = 0;
     for (int l = 1; l <= 15; l++) used += (int64_t)counts[l] << (15 - l);
     if (used > (1 << 15)) return ERR_BADDATA;
+    /* incomplete codes rejected, except the RFC 1951 single-code case
+     * (one code of one bit) that zlib and the reference accept
+     * (reference src/decompress/mod.rs build_decode_table strictness) */
+    if (used < (1 << 15) && maxlen != 1) return ERR_BADDATA;
     int root_size = 1 << root_bits;
     memset(table, 0, sizeof(int32_t) * (size_t)root_size);
     int next[17]; int code = 0;

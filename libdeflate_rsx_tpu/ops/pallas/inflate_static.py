@@ -47,6 +47,11 @@ def _kernel(len_ref, words_hbm, out_ref, in_s, out_s, sem):
     from jax.experimental.pallas import tpu as pltpu
     me = pl.program_id(0)
     in_len = len_ref[me]
+    # output bound: the last word holds the decoded length, so the data
+    # area is (OUT_WORDS - 1) words; a <=64 KiB stream can legally expand
+    # ~1000x, so every write is guarded and over-cap streams decode to
+    # bad=1 (the host wrapper returns None and callers fall back)
+    out_cap = jnp.int32((OUT_WORDS - 1) * 4)
     dma = pltpu.make_async_copy(words_hbm.at[me], in_s, sem)  # (1, W)
     dma.start()
     dma.wait()
@@ -107,6 +112,10 @@ def _kernel(len_ref, words_hbm, out_ref, in_s, out_s, sem):
             # rewind so the copy reads from the byte stream directly
             inpos = inpos - ((bits - 32) >> 3)
             bits = jnp.int32(0)
+            # bound both sides: truncated input and over-cap output
+            bad = bad | jnp.where(inpos + ln > in_len, 1, 0) \
+                | jnp.where(outpos + ln > out_cap, 1, 0)
+            ln = jnp.where(bad == 1, 0, ln)
 
             def cp(i, op):
                 outwrite(op, getbyte(inpos + i))
@@ -158,8 +167,9 @@ def _kernel(len_ref, words_hbm, out_ref, in_s, out_s, sem):
 
                 def lit(args):
                     bitbuf, bits, inpos, outpos = args
-                    outwrite(outpos, sym)
-                    return (bitbuf, bits, inpos, outpos + 1, 0, 0)
+                    over = jnp.where(outpos >= out_cap, 1, 0)
+                    outwrite(jnp.minimum(outpos, out_cap - 1), sym)
+                    return (bitbuf, bits, inpos, outpos + 1, 0, over)
 
                 def eobf(args):
                     bitbuf, bits, inpos, outpos = args
@@ -197,7 +207,9 @@ def _kernel(len_ref, words_hbm, out_ref, in_s, out_s, sem):
                     dist = obase + (bitbuf & omask).astype(jnp.int32)
                     bitbuf = bitbuf >> oeb.astype(U)
                     bits = bits - oeb
-                    bad3 = jnp.where(dist > outpos, 1, 0)
+                    bad3 = jnp.where(dist > outpos, 1, 0) \
+                        | jnp.where(outpos + length > out_cap, 1, 0)
+                    length = jnp.where(bad3 == 1, 0, length)
 
                     def cp(i, op):
                         outwrite(op, outbyte_read(op - dist))

@@ -121,8 +121,9 @@ def test_into_undersized_output():
 
 
 def test_decoder_state_reset_between_uses():
-    """Streaming use must not poison later one-shot use (reference
-    tests/security_state_reset.rs + reuse_decompressor.rs)."""
+    """A decode failure must not poison later use of the SAME instance
+    (reference tests/security_state_reset.rs + reuse_decompressor.rs —
+    the reference reuses the poisoned object, so do we)."""
     import io
     from libdeflate_rsx_tpu.stream import DeflateDecoder
 
@@ -132,10 +133,23 @@ def test_decoder_state_reset_between_uses():
     dec = DeflateDecoder(io.BytesIO(comp1[: len(comp1) // 2]))
     with pytest.raises(ShortInputError):
         dec.read()
-    # fresh one-shot on an unrelated Decompressor instance works
+    # one-shot: poison the SAME Decompressor with a truncated stream,
+    # then decode valid data with it
     data2 = make_corpus("pattern", 30000, seed=2)
     comp2 = Compressor(6).compress_deflate(data2)
-    assert Decompressor().decompress_deflate(comp2, len(data2)) == data2
+    d = Decompressor()
+    with pytest.raises(ShortInputError):
+        d.decompress_deflate(comp2[: len(comp2) // 2], len(data2))
+    assert d.decompress_deflate(comp2, len(data2)) == data2
+    # and with garbage (BadData) in between
+    with pytest.raises(BadDataError):
+        d.decompress_deflate(b"\x07\x00\x00\x00", 100)
+    assert d.decompress_deflate(comp2, len(data2)) == data2
+    # gzip/zlib containers on the same instance too
+    gz = Compressor(6).compress_gzip(data2)
+    with pytest.raises((ShortInputError, BadDataError)):
+        d.decompress_gzip(gz[: len(gz) // 2], len(data2))
+    assert d.decompress_gzip(gz, len(data2)) == data2
 
 
 def test_truncated_and_garbage_inputs():
