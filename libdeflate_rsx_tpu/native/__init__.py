@@ -29,9 +29,18 @@ def _build() -> str | None:
         newest_src = max(os.path.getmtime(s) for s in _SRCS)
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < newest_src):
-            subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, *_SRCS],
-                check=True, capture_output=True)
+            # -march=native mirrors the reference's -C target-cpu=native
+            # (reference .cargo/config.toml:1-2); the .so is built on the
+            # machine it runs on. Fall back for compilers without it.
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", _SO, *_SRCS],
+                    check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", "-o", _SO, *_SRCS],
+                    check=True, capture_output=True)
         return _SO
     except (OSError, subprocess.CalledProcessError):
         return None

@@ -930,6 +930,17 @@ typedef struct {
 } BitR;
 
 static inline void br_refill(BitR *r) {
+    /* branchless whole-word refill: load 8 bytes, advance by the bytes
+     * actually absorbed, claim n in 56..63 (the libdeflate-style refill
+     * the reference's decoder also uses, re-derived) */
+    if (r->end - r->in >= 8) {
+        uint64_t w;
+        memcpy(&w, r->in, 8);
+        r->buf |= w << r->n;
+        r->in += (63 - r->n) >> 3;
+        r->n |= 56;
+        return;
+    }
     while (r->n <= 56 && r->in < r->end) {
         r->buf |= (uint64_t)(*r->in++) << r->n;
         r->n += 8;
@@ -975,13 +986,44 @@ static int build_table(const uint8_t *lens, int nsym, int maxlen,
 
 /* two-level decode table (cache-resident root + subtables, the scheme of
  * the reference's build_decode_table, reference src/decompress/
- * mod.rs:1324-1495, re-derived):
- *   root entry, codeword len <= root_bits: (sym << 4) | len  (len < 0xF)
- *   root entry, longer codes: (sub_base << 8) | (sub_bits << 4) | 0xF
- *   subtable entry: (sym << 4) | full_len
+ * mod.rs:1324-1495, re-derived). Entries are fully pre-computed so the
+ * hot loop needs no secondary array loads or range checks:
+ *   bits 0..4   codeword length to consume (0 = invalid entry)
+ *   bits 5..7   type: 0 literal, 1 length/offset (payload = base,
+ *               extra = extra-bit count), 2 end-of-block, 3 subtable
+ *               pointer (payload = subtable base, extra = subtable
+ *               bits), 4 two packed literals (payload = b1 | b2 << 8,
+ *               extra = first codeword's length)
+ *   bits 8..15  extra-bit count / subtable bits / first-code length
+ *   bits 16..31 payload
  * Total size stays within 1 << 15 int32 for any valid code. */
+#define E_TYPE(e) (((e) >> 5) & 7)
+#define E_LEN(e) ((e) & 31)
+#define E_EXTRA(e) (((e) >> 8) & 255)
+#define E_PAY(e) ((uint32_t)(e) >> 16)
+#define T_LIT 0
+#define T_BASE 1
+#define T_EOB 2
+#define T_SUB 3
+#define T_LIT2 4
+
+static int32_t sym_entry(int sym, int is_offset) {
+    /* returns -1 for symbols with no valid decode (286/287, offsets
+     * 30/31): their table entries stay 0 and error only if referenced */
+    if (is_offset) {
+        if (sym > 29) return -1;
+        return ((int32_t)OFF_BASE[sym] << 16)
+            | ((int32_t)OFF_EXTRA[sym] << 8) | (T_BASE << 5);
+    }
+    if (sym < 256) return (sym << 16) | (T_LIT << 5);
+    if (sym == 256) return T_EOB << 5;
+    if (sym > 285) return -1;
+    return ((int32_t)LEN_BASE[sym - 257] << 16)
+        | ((int32_t)LEN_EXTRA[sym - 257] << 8) | (T_BASE << 5);
+}
+
 static int build_table2(const uint8_t *lens, int nsym, int root_bits,
-                        int32_t *table) {
+                        int32_t *table, int is_offset) {
     int counts[16] = {0};
     int maxlen = 0;
     for (int i = 0; i < nsym; i++) {
@@ -1022,8 +1064,9 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
         int c = next2[l]++;
         int rev = 0;
         for (int b = 0; b < l; b++) { rev = (rev << 1) | (c & 1); c >>= 1; }
+        int32_t base_entry = sym_entry(sym, is_offset);
         if (l <= root_bits) {
-            int32_t entry = (sym << 4) | l;
+            int32_t entry = base_entry >= 0 ? (base_entry | l) : 0;
             int step = 1 << l;
             for (int idx = rev; idx < root_size; idx += step)
                 table[idx] = entry;
@@ -1032,36 +1075,44 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
             int sub_bits = submax[prefix];
             int32_t re = table[prefix];
             int sub_base;
-            if ((re & 0xF) != 0xF) {
+            if (E_TYPE(re) != T_SUB || re == 0) {
                 sub_base = alloc;
                 alloc += 1 << sub_bits;
                 if (alloc > (1 << 15)) return ERR_BADDATA;
                 memset(table + sub_base, 0,
                        sizeof(int32_t) << sub_bits);
-                table[prefix] = (sub_base << 8) | (sub_bits << 4) | 0xF;
+                table[prefix] = ((int32_t)sub_base << 16)
+                    | (sub_bits << 8) | (T_SUB << 5);
             } else {
-                sub_base = re >> 8;
+                sub_base = (int)E_PAY(re);
             }
             int hi = rev >> root_bits;
             int step = 1 << (l - root_bits);
-            int32_t entry = (sym << 4) | l;
+            int32_t entry = base_entry >= 0 ? (base_entry | l) : 0;
             for (int idx = hi; idx < (1 << sub_bits); idx += step)
                 table[sub_base + idx] = entry;
         }
     }
-    return 0;
-}
-
-/* decode one symbol via a two-level table; returns entry or 0 invalid */
-static inline int32_t tab2_lookup(const int32_t *table, uint64_t buf,
-                                  int root_bits) {
-    int32_t e = table[(uint32_t)buf & ((1u << root_bits) - 1)];
-    if ((e & 0xF) == 0xF) {
-        int sub_bits = (e >> 4) & 0xF;
-        e = table[(e >> 8) + (int)((buf >> root_bits)
-                                   & ((1u << sub_bits) - 1))];
+    if (!is_offset) {
+        /* double-literal packing: when a root entry is a literal and
+         * the following codeword is a literal that also fits in the
+         * root width, fuse both into one lookup (descending scan so the
+         * second entry read is always an original one) */
+        for (int idx = root_size - 1; idx >= 0; idx--) {
+            int32_t e1 = table[idx];
+            if (E_TYPE(e1) != T_LIT || !E_LEN(e1)) continue;
+            int l1 = E_LEN(e1);
+            if (l1 >= root_bits) continue;
+            int32_t e2 = table[idx >> l1];
+            int l2 = E_LEN(e2);
+            if (E_TYPE(e2) != T_LIT || !l2 || l1 + l2 > root_bits)
+                continue;
+            table[idx] = (int32_t)((E_PAY(e1) & 0xFF)
+                                   | ((E_PAY(e2) & 0xFF) << 8)) << 16
+                | (l1 << 8) | (T_LIT2 << 5) | (l1 + l2);
+        }
     }
-    return e;
+    return 0;
 }
 
 /* returns output size or negative error; *consumed = input bytes used */
@@ -1100,7 +1151,14 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
             if (op + len > oend) return ERR_SPACE;
             memcpy(op, r.in, len);
             op += len;
-            r.in += len;
+            if (len) {
+                /* r.in jumps: bits above n in buf (whole-word refill
+                 * look-ahead) no longer mirror the bytes at r.in — drop
+                 * them (the drain loop left n == 0 when len > 0) */
+                r.in += len;
+                r.buf = 0;
+                r.n = 0;
+            }
         } else if (btype == 1 || btype == 2) {
             uint8_t dll[NUM_LITLEN], dof[NUM_OFFSET];
             if (btype == 1) {
@@ -1166,121 +1224,177 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                     if (dof[q] > of_bits) of_bits = dof[q];
                 if (!of_bits) of_bits = 1;
             }
-            if (build_table2(dll, NUM_LITLEN, 10, ll_table))
+            if (build_table2(dll, NUM_LITLEN, 11, ll_table, 0))
                 return ERR_BADDATA;
-            if (build_table2(dof, NUM_OFFSET, 8, of_table))
+            if (build_table2(dof, NUM_OFFSET, 8, of_table, 1))
                 return ERR_BADDATA;
-            /* fast loop: with >=300 output and >=16 input bytes of slack,
+            /* fast loop: with >=400 output and >=16 input bytes of slack,
              * one refill covers a whole literal burst or a full match
              * (<=48 bits incl. extras) with no intermediate checks —
              * the analog of the reference's unchecked fast loop
              * (reference src/decompress/mod.rs:628-770) */
             int eob = 0;
-            while (!eob && op + 300 <= oend && r.end - r.in >= 16) {
-                br_refill(&r);
-                int32_t e = tab2_lookup(ll_table, r.buf, 10);
-                int l = e & 0xF;
-                if (!l) return ERR_BADDATA;
-                br_consume(&r, l);
-                int sym = e >> 4;
-                if (sym < 256) {
-                    *op++ = (uint8_t)sym;
-                    /* burst: two more literals fit in the refill margin */
-                    e = tab2_lookup(ll_table, r.buf, 10);
-                    l = e & 0xF;
-                    sym = e >> 4;
-                    if (l && sym < 256 && l <= r.n) {
-                        br_consume(&r, l);
-                        *op++ = (uint8_t)sym;
-                        e = tab2_lookup(ll_table, r.buf, 10);
-                        l = e & 0xF;
-                        sym = e >> 4;
-                        if (l && sym < 256 && l <= r.n) {
-                            br_consume(&r, l);
-                            *op++ = (uint8_t)sym;
-                        }
+            /* margin: <=98 burst literals + 258-byte match + 31 slop */
+            while (!eob && op + 400 <= oend && r.end - r.in >= 16) {
+                br_refill(&r);   /* n in 56..63: covers a literal burst
+                                  * or one full match (<=48 bits) */
+                int32_t e = ll_table[(uint32_t)r.buf & 2047];
+                uint32_t len, off;
+                for (;;) {
+                    int ty = E_TYPE(e);
+                    if (ty == T_LIT) {
+                        if (!E_LEN(e)) return ERR_BADDATA;
+                        br_consume(&r, E_LEN(e));
+                        *op++ = (uint8_t)E_PAY(e);
+                    } else if (ty == T_LIT2) {
+                        br_consume(&r, E_LEN(e));
+                        uint32_t pay = E_PAY(e);
+                        *op++ = (uint8_t)pay;
+                        *op++ = (uint8_t)(pay >> 8);
+                    } else if (ty == T_SUB) {
+                        e = ll_table[E_PAY(e)
+                            + ((uint32_t)(r.buf >> 11)
+                               & ((1u << E_EXTRA(e)) - 1))];
+                        continue;
+                    } else if (ty == T_EOB) {
+                        br_consume(&r, E_LEN(e));
+                        eob = 1;
+                        goto fast_continue;
+                    } else { /* T_BASE: match length */
+                        br_consume(&r, E_LEN(e));
+                        /* mid-burst the buffer may be low; one refill
+                         * covers extras + the whole offset decode
+                         * (>=8 input bytes remain under the loop guard) */
+                        br_refill(&r);
+                        len = E_PAY(e)
+                            + ((uint32_t)r.buf & ((1u << E_EXTRA(e)) - 1));
+                        br_consume(&r, E_EXTRA(e));
+                        break;
                     }
-                    continue;
+                    /* literal burst: continue while the buffer still
+                     * covers a worst-case 15-bit codeword */
+                    if (r.n < 15) goto fast_continue;
+                    e = ll_table[(uint32_t)r.buf & 2047];
                 }
-                if (sym == 256) { eob = 1; break; }
-                if (sym > 285) return ERR_BADDATA;
-                int ls = sym - 257;
-                uint32_t len = LEN_BASE[ls] + br_bits(&r, LEN_EXTRA[ls]);
-                br_consume(&r, LEN_EXTRA[ls]);
-                int32_t oe = tab2_lookup(of_table, r.buf, 8);
-                int ol = oe & 0xF;
-                if (!ol) return ERR_BADDATA;
-                br_consume(&r, ol);
-                int osym = oe >> 4;
-                if (osym > 29) return ERR_BADDATA;
-                uint32_t off = OFF_BASE[osym] + br_bits(&r, OFF_EXTRA[osym]);
-                br_consume(&r, OFF_EXTRA[osym]);
+                int32_t oe = of_table[(uint32_t)r.buf & 255];
+                if (E_TYPE(oe) == T_SUB)
+                    oe = of_table[E_PAY(oe)
+                        + ((uint32_t)(r.buf >> 8)
+                           & ((1u << E_EXTRA(oe)) - 1))];
+                if (!E_LEN(oe)) return ERR_BADDATA;
+                br_consume(&r, E_LEN(oe));
+                off = E_PAY(oe)
+                    + ((uint32_t)r.buf & ((1u << E_EXTRA(oe)) - 1));
+                br_consume(&r, E_EXTRA(oe));
                 if ((int64_t)off > op - out) return ERR_BADDATA;
                 const uint8_t *src = op - off;
                 uint8_t *dst = op;
                 op += len;
-                if (off >= 8) {
-                    /* margins allow 8-byte over-copy */
+                if (off >= 32) {
+                    /* the common case on binary data first */
                     do {
-                        memcpy(dst, src, 8);
-                        dst += 8; src += 8;
+                        memcpy(dst, src, 16);
+                        dst += 16; src += 16;
                     } while (dst < op);
                 } else if (off == 1) {
-                    memset(dst, *src, (size_t)(op - dst) + 7);
-                } else {
+                    memset(dst, *src, (size_t)(op - dst) + 15);
+                } else if (off < 16) {
                     /* pattern broadcast (the reference's prepare_pattern,
-                     * reference src/decompress/mod.rs:1258-1317): build
-                     * an 8-byte repeating pattern and stamp it with a
-                     * stride of the largest multiple of off <= 8 */
+                     * reference src/decompress/mod.rs:1258-1317, widened
+                     * to 16-byte stores): build a 16-byte repeating
+                     * pattern from bytes written BEFORE this match (no
+                     * store-forwarding stalls) and stamp it with a
+                     * stride of the largest multiple of off <= 16 */
                     uint8_t pat[16];
-                    for (int k = 0; k < 8; k++) pat[k] = src[k % off];
-                    int stride = (8 / (int)off) * (int)off;
+                    for (int k = 0; k < 16; k++) pat[k] = src[k % off];
+                    int stride = (16 / (int)off) * (int)off;
                     do {
-                        memcpy(dst, pat, 8);
+                        memcpy(dst, pat, 16);
                         dst += stride;
                     } while (dst < op);
+                } else if (off < 32 && op - dst > (int64_t)off) {
+                    /* 16 <= off < 32 with wrap-around: a 32-byte pattern
+                     * (period off) stamped at stride off — the portable
+                     * analog of the reference's alignr cycle kernels
+                     * (reference src/decompress/x86.rs:133-139) that
+                     * breaks the read-after-recent-write dependency */
+                    uint8_t pat[48];
+                    memcpy(pat, src, off);
+                    memcpy(pat + off, src, 32 - off > 16 ? 16 : 32 - off);
+                    do {
+                        memcpy(dst, pat, 32);
+                        dst += off;
+                    } while (dst < op);
+                } else {
+                    /* margins allow 16-byte over-copy */
+                    do {
+                        memcpy(dst, src, 16);
+                        dst += 16; src += 16;
+                    } while (dst < op);
                 }
+fast_continue:;
             }
             if (eob) {
                 if (final) break; else continue;
             }
             for (;;) {
                 br_refill(&r);
-                int32_t e = tab2_lookup(ll_table, r.buf, 10);
-                int l = e & 0xF;
+                int32_t e = ll_table[(uint32_t)r.buf & 2047];
+                if (E_TYPE(e) == T_SUB)
+                    e = ll_table[E_PAY(e)
+                        + ((uint32_t)(r.buf >> 11)
+                           & ((1u << E_EXTRA(e)) - 1))];
+                int l = E_LEN(e);
+                int ty = E_TYPE(e);
                 if (!l) return ERR_BADDATA;
-                if (l > r.n) return ERR_SHORT;
-                br_consume(&r, l);
-                int sym = e >> 4;
-                if (sym < 256) {
+                if (ty == T_LIT2) {
+                    /* packed pair: fall back to single-symbol semantics
+                     * when bits or output space cover only the first */
+                    int l1 = E_EXTRA(e);
+                    if (l1 > r.n) return ERR_SHORT;
                     if (op >= oend) return ERR_SPACE;
-                    *op++ = (uint8_t)sym;
+                    if (l > r.n || op + 2 > oend) {
+                        br_consume(&r, l1);
+                        *op++ = (uint8_t)(E_PAY(e) & 0xFF);
+                        continue;
+                    }
+                    br_consume(&r, l);
+                    uint32_t pay = E_PAY(e);
+                    *op++ = (uint8_t)pay;
+                    *op++ = (uint8_t)(pay >> 8);
                     continue;
                 }
-                if (sym == 256) break;
-                if (sym > 285) return ERR_BADDATA;
-                int ls = sym - 257;
-                uint32_t len = LEN_BASE[ls];
-                if (LEN_EXTRA[ls]) {
+                if (l > r.n) return ERR_SHORT;
+                br_consume(&r, l);
+                if (ty == T_LIT) {
+                    if (op >= oend) return ERR_SPACE;
+                    *op++ = (uint8_t)E_PAY(e);
+                    continue;
+                }
+                if (ty == T_EOB) break;
+                uint32_t len = E_PAY(e);
+                if (E_EXTRA(e)) {
                     br_refill(&r);
-                    if (r.n < LEN_EXTRA[ls]) return ERR_SHORT;
-                    len += br_bits(&r, LEN_EXTRA[ls]);
-                    br_consume(&r, LEN_EXTRA[ls]);
+                    if (r.n < E_EXTRA(e)) return ERR_SHORT;
+                    len += br_bits(&r, E_EXTRA(e));
+                    br_consume(&r, E_EXTRA(e));
                 }
                 br_refill(&r);
-                int32_t oe = tab2_lookup(of_table, r.buf, 8);
-                int ol = oe & 0xF;
+                int32_t oe = of_table[(uint32_t)r.buf & 255];
+                if (E_TYPE(oe) == T_SUB)
+                    oe = of_table[E_PAY(oe)
+                        + ((uint32_t)(r.buf >> 8)
+                           & ((1u << E_EXTRA(oe)) - 1))];
+                int ol = E_LEN(oe);
                 if (!ol) return ERR_BADDATA;
                 if (ol > r.n) return ERR_SHORT;
                 br_consume(&r, ol);
-                int osym = oe >> 4;
-                if (osym > 29) return ERR_BADDATA;
-                uint32_t off = OFF_BASE[osym];
-                if (OFF_EXTRA[osym]) {
+                uint32_t off = E_PAY(oe);
+                if (E_EXTRA(oe)) {
                     br_refill(&r);
-                    if (r.n < OFF_EXTRA[osym]) return ERR_SHORT;
-                    off += br_bits(&r, OFF_EXTRA[osym]);
-                    br_consume(&r, OFF_EXTRA[osym]);
+                    if (r.n < E_EXTRA(oe)) return ERR_SHORT;
+                    off += br_bits(&r, E_EXTRA(oe));
+                    br_consume(&r, E_EXTRA(oe));
                 }
                 if ((int64_t)off > op - out) return ERR_BADDATA;
                 if (op + len > oend) return ERR_SPACE;
@@ -1312,6 +1426,15 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
 /* ------------------------------------------------------------------ */
 /* checksums                                                           */
 /* ------------------------------------------------------------------ */
+/* Tiered like the reference's per-ISA dispatch (reference src/crc32/
+ * mod.rs:332-365, src/adler32/mod.rs:114-152), collapsed to one x86
+ * SIMD tier each + a portable scalar tier, selected once at runtime.
+ * The CRC folding constants are NOT copied: they are recomputed at
+ * startup from first principles — fold-by-D-bytes needs
+ * k_lo = rev33(x^(8D+32) mod P), k_hi = rev33(x^(8D-32) mod P)
+ * (derived and verified against the raw-register identity
+ * rawcrc(fold(V)) == rawcrc(V || D zero bytes); the scheme itself is
+ * the public Intel PCLMULQDQ-CRC whitepaper construction). */
 
 static uint32_t crc_tab[8][256];
 static int crc_ready = 0;
@@ -1331,9 +1454,9 @@ static void crc_init(void) {
     crc_ready = 1;
 }
 
-uint32_t crc32_c(uint32_t crc, const uint8_t *p, int64_t n) {
-    crc_init();
-    crc = ~crc;
+/* raw register update (init 0 == raw reflected CRC; linear in data) */
+static inline uint32_t crc_raw_slice8(uint32_t crc, const uint8_t *p,
+                                      int64_t n) {
     while (n && ((uintptr_t)p & 7)) { crc = (crc >> 8) ^ crc_tab[0][(crc ^ *p++) & 0xFF]; n--; }
     while (n >= 8) {
         uint64_t w;
@@ -1346,10 +1469,207 @@ uint32_t crc32_c(uint32_t crc, const uint8_t *p, int64_t n) {
         p += 8; n -= 8;
     }
     while (n--) crc = (crc >> 8) ^ crc_tab[0][(crc ^ *p++) & 0xFF];
-    return ~crc;
+    return crc;
 }
 
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#include <cpuid.h>
+
+/* x^n mod P via square-and-multiply on small (<2^33) polynomials */
+static uint64_t poly_mod_p(unsigned __int128 a) {
+    const unsigned __int128 P = 0x104C11DB7ull;
+    while (a >> 32) {
+        unsigned __int128 t = a >> 32;
+        int hb = 32;
+        while (t >> 1) { t >>= 1; hb++; }
+        a ^= P << (hb - 32);
+    }
+    return (uint64_t)a;
+}
+
+static uint64_t poly_mulmod(uint64_t a, uint64_t b) {
+    /* operands already reduced (< 2^33); product fits 66 bits */
+    unsigned __int128 r = 0;
+    for (int i = 0; i < 33; i++)
+        if ((b >> i) & 1) r ^= (unsigned __int128)a << i;
+    return poly_mod_p(r);
+}
+
+static uint64_t xpow_mod(uint64_t n) {
+    uint64_t r = 1, base = 2;
+    while (n) {
+        if (n & 1) r = poly_mulmod(r, base);
+        base = poly_mulmod(base, base);
+        n >>= 1;
+    }
+    return r;
+}
+
+static uint64_t rev_bits(uint64_t v, int bits) {
+    uint64_t r = 0;
+    for (int i = 0; i < bits; i++)
+        if ((v >> i) & 1) r |= 1ull << (bits - 1 - i);
+    return r;
+}
+
+/* fold-by-D constants, computed once */
+static uint64_t crc_k[4][2]; /* D = 64, 48, 32, 16 */
+static int crc_simd_tier = -1; /* -1 unknown, 0 scalar, 1 pclmul */
+
+static void crc_simd_init(void) {
+    if (crc_simd_tier >= 0) return;
+    unsigned eax, ebx, ecx, edx;
+    int ok = 0;
+    if (__get_cpuid(1, &eax, &ebx, &ecx, &edx))
+        ok = (ecx & bit_PCLMUL) && (ecx & bit_SSE4_1);
+    if (ok) {
+        static const int ds[4] = {64, 48, 32, 16};
+        for (int i = 0; i < 4; i++) {
+            crc_k[i][0] = rev_bits(xpow_mod(8ull * ds[i] + 32), 33);
+            crc_k[i][1] = rev_bits(xpow_mod(8ull * ds[i] - 32), 33);
+        }
+        crc_simd_tier = 1;
+    } else {
+        crc_simd_tier = 0;
+    }
+}
+
+__attribute__((target("pclmul,sse4.1")))
+static uint32_t crc_raw_pclmul(uint32_t crc, const uint8_t *p, int64_t n) {
+    /* maintain: final = rawcrc(x0||x1||x2||x3 || remaining bytes) */
+    const __m128i k64 = _mm_set_epi64x((long long)crc_k[0][1],
+                                       (long long)crc_k[0][0]);
+    const __m128i k48 = _mm_set_epi64x((long long)crc_k[1][1],
+                                       (long long)crc_k[1][0]);
+    const __m128i k32 = _mm_set_epi64x((long long)crc_k[2][1],
+                                       (long long)crc_k[2][0]);
+    const __m128i k16 = _mm_set_epi64x((long long)crc_k[3][1],
+                                       (long long)crc_k[3][0]);
+    __m128i x0 = _mm_loadu_si128((const __m128i *)p);
+    __m128i x1 = _mm_loadu_si128((const __m128i *)(p + 16));
+    __m128i x2 = _mm_loadu_si128((const __m128i *)(p + 32));
+    __m128i x3 = _mm_loadu_si128((const __m128i *)(p + 48));
+    x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)crc));
+    p += 64; n -= 64;
+    while (n >= 64) {
+        x0 = _mm_xor_si128(
+            _mm_xor_si128(_mm_clmulepi64_si128(x0, k64, 0x00),
+                          _mm_clmulepi64_si128(x0, k64, 0x11)),
+            _mm_loadu_si128((const __m128i *)p));
+        x1 = _mm_xor_si128(
+            _mm_xor_si128(_mm_clmulepi64_si128(x1, k64, 0x00),
+                          _mm_clmulepi64_si128(x1, k64, 0x11)),
+            _mm_loadu_si128((const __m128i *)(p + 16)));
+        x2 = _mm_xor_si128(
+            _mm_xor_si128(_mm_clmulepi64_si128(x2, k64, 0x00),
+                          _mm_clmulepi64_si128(x2, k64, 0x11)),
+            _mm_loadu_si128((const __m128i *)(p + 32)));
+        x3 = _mm_xor_si128(
+            _mm_xor_si128(_mm_clmulepi64_si128(x3, k64, 0x00),
+                          _mm_clmulepi64_si128(x3, k64, 0x11)),
+            _mm_loadu_si128((const __m128i *)(p + 48)));
+        p += 64; n -= 64;
+    }
+    /* combine 4 lanes into one 128-bit register */
+    __m128i y = _mm_xor_si128(
+        _mm_xor_si128(
+            _mm_xor_si128(_mm_clmulepi64_si128(x0, k48, 0x00),
+                          _mm_clmulepi64_si128(x0, k48, 0x11)),
+            _mm_xor_si128(_mm_clmulepi64_si128(x1, k32, 0x00),
+                          _mm_clmulepi64_si128(x1, k32, 0x11))),
+        _mm_xor_si128(
+            _mm_xor_si128(_mm_clmulepi64_si128(x2, k16, 0x00),
+                          _mm_clmulepi64_si128(x2, k16, 0x11)),
+            x3));
+    while (n >= 16) {
+        y = _mm_xor_si128(
+            _mm_xor_si128(_mm_clmulepi64_si128(y, k16, 0x00),
+                          _mm_clmulepi64_si128(y, k16, 0x11)),
+            _mm_loadu_si128((const __m128i *)p));
+        p += 16; n -= 16;
+    }
+    uint8_t tailbuf[16] __attribute__((aligned(16)));
+    _mm_store_si128((__m128i *)tailbuf, y);
+    uint32_t r = crc_raw_slice8(0, tailbuf, 16);
+    return crc_raw_slice8(r, p, n);
+}
+#endif /* x86 */
+
+uint32_t crc32_c(uint32_t crc, const uint8_t *p, int64_t n) {
+    crc_init();
+    crc = ~crc;
+#if defined(__x86_64__) || defined(__i386__)
+    crc_simd_init();
+    if (crc_simd_tier == 1 && n >= 128) {
+        return ~crc_raw_pclmul(crc, p, n);
+    }
+#endif
+    return ~crc_raw_slice8(crc, p, n);
+}
+
+#if defined(__x86_64__) || defined(__i386__)
+static int adler_simd_tier = -1;
+
+static void adler_simd_init(void) {
+    if (adler_simd_tier >= 0) return;
+    adler_simd_tier = __builtin_cpu_supports("avx2") ? 1 : 0;
+}
+
+__attribute__((target("avx2")))
+static uint32_t adler32_avx2(uint32_t adler, const uint8_t *p, int64_t n) {
+    /* per 32-byte chunk: s1 gains sum(b); s2 gains 32*s1_before + dot
+     * (b, [32..1]) — accumulated as SAD byte sums, a rolled prefix of
+     * them (x32 at reduction), and maddubs/madd weighted dots.
+     * 5536 = NMAX rounded to 32 keeps everything under 2^32. */
+    uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
+    const __m256i zero = _mm256_setzero_si256();
+    const __m256i weights = _mm256_setr_epi8(
+        32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17,
+        16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1);
+    const __m256i ones16 = _mm256_set1_epi16(1);
+    while (n >= 32) {
+        int64_t blk = n > 5536 ? 5536 : (n & ~(int64_t)31);
+        n -= blk;
+        __m256i vs1 = zero, vroll = zero, vs2 = zero;
+        for (int64_t i = 0; i < blk; i += 32) {
+            __m256i d = _mm256_loadu_si256((const __m256i *)(p + i));
+            vroll = _mm256_add_epi64(vroll, vs1);
+            vs1 = _mm256_add_epi64(vs1, _mm256_sad_epu8(d, zero));
+            vs2 = _mm256_add_epi32(
+                vs2, _mm256_madd_epi16(_mm256_maddubs_epi16(d, weights),
+                                       ones16));
+        }
+        uint64_t lanes1[4], roll[4];
+        uint32_t lanes2[8];
+        _mm256_storeu_si256((__m256i *)lanes1, vs1);
+        _mm256_storeu_si256((__m256i *)roll, vroll);
+        _mm256_storeu_si256((__m256i *)lanes2, vs2);
+        uint64_t bsum = lanes1[0] + lanes1[1] + lanes1[2] + lanes1[3];
+        uint64_t rsum = roll[0] + roll[1] + roll[2] + roll[3];
+        uint64_t wsum = 0;
+        for (int k = 0; k < 8; k++) wsum += lanes2[k];
+        uint64_t s2w = (uint64_t)s2 + (uint64_t)s1 * (uint64_t)blk
+            + 32ull * rsum + wsum;
+        s1 = (uint32_t)(((uint64_t)s1 + bsum) % 65521);
+        s2 = (uint32_t)(s2w % 65521);
+        p += blk;
+    }
+    while (n--) { s1 += *p++; s2 += s1; }
+    s1 %= 65521; s2 %= 65521;
+    return (s2 << 16) | s1;
+}
+#endif /* x86 */
+
 uint32_t adler32_c(uint32_t adler, const uint8_t *p, int64_t n) {
+    /* zlib reduces non-canonical init values mod 65521 up front */
+    adler = (adler & 0xFFFF) % 65521
+        | (uint32_t)(((adler >> 16) % 65521) << 16);
+#if defined(__x86_64__) || defined(__i386__)
+    adler_simd_init();
+    if (adler_simd_tier == 1 && n >= 64)
+        return adler32_avx2(adler, p, n);
+#endif
     uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
     while (n > 0) {
         int64_t chunk = n > 5552 ? 5552 : n;
