@@ -22,6 +22,53 @@ _SRCS = [os.path.join(_HERE, "assemble.c"),
 _lib = None
 _tried = False
 
+_EXT_SO = os.path.join(_HERE, "_codec.so")
+_EXT_SRCS = [os.path.join(_HERE, "pymod.c"),
+             os.path.join(_HERE, "codec.c")]
+_ext = None
+_ext_tried = False
+
+
+def _build_ext() -> str | None:
+    cc = os.environ.get("CC", "cc")
+    inc = sysconfig.get_paths()["include"]
+    try:
+        newest_src = max(os.path.getmtime(s) for s in _EXT_SRCS)
+        if (not os.path.exists(_EXT_SO)
+                or os.path.getmtime(_EXT_SO) < newest_src):
+            base = [cc, "-O3", "-shared", "-fPIC", f"-I{inc}",
+                    "-o", _EXT_SO, *_EXT_SRCS]
+            try:
+                subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                               check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(base, check=True, capture_output=True)
+        return _EXT_SO
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def get_ext():
+    """The CPython extension module (fast call path), or None."""
+    global _ext, _ext_tried
+    if _ext_tried:
+        return _ext
+    _ext_tried = True
+    so = _build_ext()
+    if so is None:
+        return None
+    try:
+        import importlib.machinery
+        import importlib.util
+        loader = importlib.machinery.ExtensionFileLoader("_codec", so)
+        spec = importlib.util.spec_from_loader("_codec", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        _ext = mod
+    except (ImportError, OSError):
+        _ext = None
+    return _ext
+
 
 def _build() -> str | None:
     cc = os.environ.get("CC", "cc")

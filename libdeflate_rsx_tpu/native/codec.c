@@ -240,10 +240,10 @@ typedef struct {
     int32_t prev_buf[0]; /* unused marker */
 } HashState;
 
-static inline uint32_t hash4(const uint8_t *p) {
+static inline uint32_t hash4(const uint8_t *p, int shift) {
     uint32_t w;
     memcpy(&w, p, 4);
-    return (w * 0x9E3779B1u) >> (32 - HASH_BITS);
+    return (w * 0x9E3779B1u) >> shift;
 }
 
 static inline uint32_t match_len(const uint8_t *a, const uint8_t *b,
@@ -322,24 +322,34 @@ static const int LEVEL_PARAMS[10][4] = {
 typedef struct {
     const uint8_t *buf;
     int64_t n;
-    int32_t *head;   /* HASH_SIZE (hash4 chains) */
-    int32_t *head3;  /* HASH_SIZE (hash3 single probe) */
+    int32_t *head;   /* 1 << hb (hash4 chains) */
+    int32_t *head3;  /* 1 << hb (hash3 single probe) */
     int32_t *prevl;  /* n */
     int depth, nice, lazy, lazy2;
+    int hshift;      /* 32 - hb: tables sized to the input so small
+                      * calls don't pay a 256 KB clear */
 } MF;
 
-static inline uint32_t hash3(const uint8_t *p) {
+/* hash-table bits for an input of n bytes (clears scale with n) */
+static inline int hash_bits_for(int64_t n) {
+    if (n >= 32768) return HASH_BITS;
+    int hb = 10;
+    while ((1 << hb) < (int)n && hb < HASH_BITS) hb++;
+    return hb;
+}
+
+static inline uint32_t hash3(const uint8_t *p, int shift) {
     uint32_t w;
     memcpy(&w, p, 4);
-    return ((w & 0xFFFFFF) * 0x9E3779B1u) >> (32 - HASH_BITS);
+    return ((w & 0xFFFFFF) * 0x9E3779B1u) >> shift;
 }
 
 static inline void mf_insert(MF *m, int64_t i) {
     if (i + MIN_MATCH + 1 > m->n) return;
-    uint32_t h = hash4(m->buf + i);
+    uint32_t h = hash4(m->buf + i, m->hshift);
     m->prevl[i] = m->head[h];
     m->head[h] = (int32_t)i;
-    m->head3[hash3(m->buf + i)] = (int32_t)i;
+    m->head3[hash3(m->buf + i, m->hshift)] = (int32_t)i;
 }
 
 static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
@@ -349,7 +359,7 @@ static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
     const uint8_t *base = m->buf;
     uint32_t best = 0, boff = 0;
     if (max >= 4) {
-        int32_t j = m->head[hash4(base + i)];
+        int32_t j = m->head[hash4(base + i, m->hshift)];
         int d = m->depth;
         while (j >= 0 && j > limit && d-- > 0) {
             if (base[j + best] == base[i + best]) {
@@ -368,7 +378,7 @@ static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
     if (m->depth < 24) return 0;   /* speed tiers skip 3-byte matches */
     /* fall back to a close length-3 match (single-probe hash3): worth
      * at most when nearby — a far 3-match costs more than 3 literals */
-    int32_t j3 = m->head3[hash3(base + i)];
+    int32_t j3 = m->head3[hash3(base + i, m->hshift)];
     if (j3 >= 0 && i - j3 <= 1024 && j3 > limit
             && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
             && base[j3 + 2] == base[i + 2]) {
@@ -590,7 +600,7 @@ static int mf_find_all(MF *m, int64_t i, uint32_t max, Cand *out) {
     const uint8_t *base = m->buf;
     /* single-probe hash3: a length-3 candidate at close range (the
      * reference's HT tier; far 3-matches cost more than literals) */
-    int32_t j3 = m->head3[hash3(base + i)];
+    int32_t j3 = m->head3[hash3(base + i, m->hshift)];
     if (j3 >= 0 && i - j3 <= 4096 && j3 > limit
             && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
             && base[j3 + 2] == base[i + 2]) {
@@ -599,7 +609,7 @@ static int mf_find_all(MF *m, int64_t i, uint32_t max, Cand *out) {
         nc++;
     }
     if (max < 4) return nc;
-    int32_t j = m->head[hash4(base + i)];
+    int32_t j = m->head[hash4(base + i, m->hshift)];
     int d = m->depth;
     uint32_t best = 3;
     while (j >= 0 && j > limit && d-- > 0 && nc < MAXC) {
@@ -660,13 +670,15 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
     bw_init(&w, out, out_cap);
     int64_t n = total_len;
     MF mf;
+    int hb = hash_bits_for(n);
     mf.buf = buf; mf.n = n;
     mf.head = work;
-    mf.head3 = work + HASH_SIZE;
+    mf.head3 = work + (1 << hb);
     mf.prevl = work + 2 * HASH_SIZE;
+    mf.hshift = 32 - hb;
     mf.depth = level == 10 ? 64 : (level == 11 ? 192 : 512);
     mf.nice = MAX_MATCH;
-    for (int i = 0; i < 2 * HASH_SIZE; i++) work[i] = -1;
+    memset(work, -1, sizeof(int32_t) << (hb + 1));
     for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
 
     int64_t maxb = SOFT_BLOCK;
@@ -803,12 +815,14 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
     if (total_len > hist_len) {
         const int *lp = LEVEL_PARAMS[level];
         MF mf;
+        int hb = hash_bits_for(n);
         mf.buf = buf; mf.n = n;
         mf.head = work;
-        mf.head3 = work + HASH_SIZE;
+        mf.head3 = work + (1 << hb);
         mf.prevl = work + 2 * HASH_SIZE;
+        mf.hshift = 32 - hb;
         mf.depth = lp[1]; mf.nice = lp[2]; mf.lazy = lp[0]; mf.lazy2 = lp[3];
-        for (int i = 0; i < 2 * HASH_SIZE; i++) work[i] = -1;
+        memset(work, -1, sizeof(int32_t) << (hb + 1));
         for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
 
         static __thread Seq seqs[SOFT_BLOCK / 3 + 16];
@@ -1023,7 +1037,7 @@ static int32_t sym_entry(int sym, int is_offset) {
 }
 
 static int build_table2(const uint8_t *lens, int nsym, int root_bits,
-                        int32_t *table, int is_offset) {
+                        int32_t *table, int is_offset, int pack_ok) {
     int counts[16] = {0};
     int maxlen = 0;
     for (int i = 0; i < nsym; i++) {
@@ -1093,11 +1107,17 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
                 table[sub_base + idx] = entry;
         }
     }
-    if (!is_offset) {
+    if (!is_offset && pack_ok) {
         /* double-literal packing: when a root entry is a literal and
          * the following codeword is a literal that also fits in the
          * root width, fuse both into one lookup (descending scan so the
-         * second entry read is always an original one) */
+         * second entry read is always an original one). Skipped when no
+         * literal pair can fit the root width, and for small outputs
+         * where the 2^root-entry pass outweighs the decode win. */
+        int min_lit = 16;
+        for (int sym2 = 0; sym2 < 256 && sym2 < nsym; sym2++)
+            if (lens[sym2] && lens[sym2] < min_lit) min_lit = lens[sym2];
+        if (2 * min_lit > root_bits) return 0;
         for (int idx = root_size - 1; idx >= 0; idx--) {
             int32_t e1 = table[idx];
             if (E_TYPE(e1) != T_LIT || !E_LEN(e1)) continue;
@@ -1121,8 +1141,13 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
     init_tables();
     BitR r = {in, in + in_len, 0, 0};
     uint8_t *op = out, *oend = out + out_cap;
-    static __thread int32_t ll_table[1 << 15];
-    static __thread int32_t of_table[1 << 15];
+    static __thread int32_t ll_dyn[1 << 15];
+    static __thread int32_t of_dyn[1 << 15];
+    static __thread int32_t ll_static[1 << 15];
+    static __thread int32_t of_static[1 << 12];
+    static __thread int static_ready = 0;
+    static __thread int static_packed = 0;
+    int32_t *ll_table = ll_dyn, *of_table = of_dyn;
     int ll_bits = 0, of_bits = 0;
 
     for (;;) {
@@ -1224,10 +1249,30 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                     if (dof[q] > of_bits) of_bits = dof[q];
                 if (!of_bits) of_bits = 1;
             }
-            if (build_table2(dll, NUM_LITLEN, 11, ll_table, 0))
-                return ERR_BADDATA;
-            if (build_table2(dof, NUM_OFFSET, 8, of_table, 1))
-                return ERR_BADDATA;
+            int pack_ok = (oend - op) > 16384;
+            if (btype == 1) {
+                /* static tables: cached after first build (the
+                 * reference's OnceLock static-table cache, reference
+                 * src/decompress/mod.rs:68-75) */
+                if (!static_ready || static_packed != pack_ok) {
+                    if (build_table2(dll, NUM_LITLEN, 11, ll_static, 0,
+                                     pack_ok)
+                            || build_table2(dof, NUM_OFFSET, 8, of_static,
+                                            1, 0))
+                        return ERR_BADDATA;
+                    static_ready = 1;
+                    static_packed = pack_ok;
+                }
+                ll_table = ll_static;
+                of_table = of_static;
+            } else {
+                ll_table = ll_dyn;
+                of_table = of_dyn;
+                if (build_table2(dll, NUM_LITLEN, 11, ll_table, 0, pack_ok))
+                    return ERR_BADDATA;
+                if (build_table2(dof, NUM_OFFSET, 8, of_table, 1, 0))
+                    return ERR_BADDATA;
+            }
             /* fast loop: with >=400 output and >=16 input bytes of slack,
              * one refill covers a whole literal burst or a full match
              * (<=48 bits incl. extras) with no intermediate checks —
@@ -1455,8 +1500,9 @@ static void crc_init(void) {
 }
 
 /* raw register update (init 0 == raw reflected CRC; linear in data) */
-static inline uint32_t crc_raw_slice8(uint32_t crc, const uint8_t *p,
-                                      int64_t n) {
+__attribute__((noinline))
+static uint32_t crc_raw_slice8(uint32_t crc, const uint8_t *p,
+                               int64_t n) {
     while (n && ((uintptr_t)p & 7)) { crc = (crc >> 8) ^ crc_tab[0][(crc ^ *p++) & 0xFF]; n--; }
     while (n >= 8) {
         uint64_t w;
