@@ -84,15 +84,23 @@ class BatchCompressor:
     def _compress_one_host(self, data: bytes) -> bytes:
         return self._frame(data, compress_raw(data, self.level, Flush.FINISH))
 
+    def _compress_item(self, data: bytes) -> bytes:
+        try:
+            return self._compress_one_host(data)
+        except DeflateError:
+            return b""
+
     def compress_batch(self, inputs) -> list[bytes]:
         """Per-item isolation: an item that fails yields b"" (reference
-        src/batch.rs:47-54) and the rest of the batch proceeds."""
-        out: list[bytes] = []
+        src/batch.rs:47-54) and the rest of the batch proceeds. Host
+        items run on the shared thread pool (the reference's rayon
+        par_iter, reference src/batch.rs:34-57)."""
         device = self._device_wanted()
-        for item in inputs:
-            data = bytes(item)
-            try:
-                if device:
+        if device:
+            out: list[bytes] = []
+            for item in inputs:
+                data = bytes(item)
+                try:
                     try:
                         out.append(self._compress_one_device(data))
                         continue
@@ -100,10 +108,12 @@ class BatchCompressor:
                         # silent host fallback, mirroring the CUDA->CPU
                         # fallback in the reference (src/batch.rs:23-27)
                         pass
-                out.append(self._compress_one_host(data))
-            except DeflateError:
-                out.append(b"")
-        return out
+                    out.append(self._compress_one_host(data))
+                except DeflateError:
+                    out.append(b"")
+            return out
+        from .parallel.hostpool import pmap
+        return pmap(self._compress_item, [bytes(x) for x in inputs])
 
 
 class BatchDecompressor:
@@ -123,11 +133,16 @@ class BatchDecompressor:
             return d.decompress_zlib(data, max_out)
         return d.decompress_gzip(data, max_out)
 
+    def _decompress_item(self, job) -> bytes | None:
+        data, cap = job
+        try:
+            return self._decompress_one(data, cap)
+        except Exception:
+            return None
+
     def decompress_batch(self, inputs, max_out_sizes) -> list:
-        out = []
-        for data, cap in zip(inputs, max_out_sizes):
-            try:
-                out.append(self._decompress_one(bytes(data), int(cap)))
-            except Exception:
-                out.append(None)
-        return out
+        """Thread-pool parallel with per-item fault isolation (reference
+        src/batch.rs:74-101)."""
+        from .parallel.hostpool import pmap
+        jobs = [(bytes(d), int(c)) for d, c in zip(inputs, max_out_sizes)]
+        return pmap(self._decompress_item, jobs)

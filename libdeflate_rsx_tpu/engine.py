@@ -19,11 +19,42 @@ from .utils.errors import (
 
 _FLUSH_CODE = {Flush.SYNC: 1, Flush.FINISH: 2}
 
+# intra-buffer parallel chunking, the reference's >256 KiB scheme
+# (reference src/compress/mod.rs:699-772) with history carried across
+# chunk boundaries (see parallel/hostpool.py)
+CHUNK_PARALLEL_SIZE = 256 * 1024
+from .common import WINDOW_SIZE as _WINDOW
+
+
+def _compress_one_chunk(args) -> bytes:
+    data, level, flush_code, history = args
+    from .native.host import native_deflate
+    out = native_deflate(data, level, flush_code, history)
+    if out is not None:
+        return out
+    flush = Flush.SYNC if flush_code == 1 else Flush.FINISH
+    return deflate_host(data, level, flush, history=history)
+
 
 def compress_raw(data: bytes, level: int, flush: Flush = Flush.FINISH,
                  history: bytes = b"") -> bytes:
-    """Raw DEFLATE at any level, native fast path for 1-12."""
-    if 1 <= level <= 12 and len(data) > 0:
+    """Raw DEFLATE at any level, native fast path for 1-12; inputs over
+    256 KiB compress as parallel SYNC-joined chunks on the host pool."""
+    n = len(data)
+    if 1 <= level <= 12 and n > 0:
+        if n > CHUNK_PARALLEL_SIZE:
+            from .parallel.hostpool import pmap, pool_width
+            if pool_width() > 1:
+                jobs = []
+                pos = 0
+                while pos < n:
+                    end = min(pos + CHUNK_PARALLEL_SIZE, n)
+                    hist = history if pos == 0 \
+                        else data[max(0, pos - _WINDOW):pos]
+                    code = _FLUSH_CODE[flush] if end == n else 1
+                    jobs.append((data[pos:end], level, code, hist))
+                    pos = end
+                return b"".join(pmap(_compress_one_chunk, jobs))
         from .native.host import native_deflate
         out = native_deflate(data, level, _FLUSH_CODE[flush], history)
         if out is not None:

@@ -96,19 +96,28 @@ class DeflateEncoder:
                                history=self._history)
             self._writer.write(out)
             return
+        # parallel chunk compression (the reference's rayon flush,
+        # reference src/stream.rs:100-146): each chunk's history is the
+        # previous chunk's plaintext tail, known before compressing, so
+        # chunks run concurrently on the host pool
+        from .parallel.hostpool import pmap
+        jobs = []
         pos = 0
         while pos < len(data):
             end = min(pos + CHUNK_SIZE, len(data))
-            last = end == len(data)
-            chunk = data[pos:end]
-            out = compress_raw(
-                chunk, self._level,
-                Flush.FINISH if (final and last) else Flush.SYNC,
-                history=self._history)
-            self._writer.write(out)
-            self._history = chunk[-WINDOW_SIZE:] if len(chunk) >= WINDOW_SIZE \
-                else (self._history + chunk)[-WINDOW_SIZE:]
+            hist = self._history if pos == 0 \
+                else data[max(0, pos - WINDOW_SIZE):pos]
+            fl = Flush.FINISH if (final and end == len(data)) else Flush.SYNC
+            jobs.append((data[pos:end], fl, hist))
             pos = end
+        outs = pmap(self._compress_chunk, jobs)
+        for out in outs:
+            self._writer.write(out)
+        self._history = (self._history + data)[-WINDOW_SIZE:]
+
+    def _compress_chunk(self, job) -> bytes:
+        chunk, fl, hist = job
+        return compress_raw(chunk, self._level, fl, history=hist)
 
 
 class DeflateDecoder:
