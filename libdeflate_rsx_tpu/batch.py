@@ -117,12 +117,77 @@ class BatchCompressor:
 
 
 class BatchDecompressor:
-    """Decompress many independent buffers; failed items yield None."""
+    """Decompress many independent buffers; failed items yield None.
 
-    def __init__(self, format: str = "deflate") -> None:
+    use_device=True decodes raw-DEFLATE payloads with the Pallas batch
+    inflate kernel (ops/pallas/inflate_v2.py, all block types, <=64 KiB
+    per stream); container headers and checksums are handled host-side.
+    Items the kernel cannot take (over-cap, invalid) silently fall back
+    to the host decoder — the reference's device->CPU fallback shape
+    (reference src/batch.rs:23-27). Default False: the host C decoder is
+    faster per stream; the device path exists for offload (freeing host
+    cores) and as the scaling unit for sharded meshes."""
+
+    def __init__(self, format: str = "deflate",
+                 use_device: bool = False) -> None:
         if format not in ("deflate", "zlib", "gzip"):
             raise ValueError(f"unknown format {format!r}")
         self.format = format
+        self.use_device = use_device
+
+    def _split_container(self, data: bytes):
+        """-> (payload, verify_fn) for the configured format."""
+        if self.format == "deflate":
+            return data, lambda out: None
+        if self.format == "zlib":
+            start = containers.parse_zlib_header(data)
+
+            def verify_zlib(out, data=data, start=start):
+                # the footer check needs the consumed length; device
+                # decode consumes the whole payload, so locate the
+                # 4-byte adler at the end
+                containers.verify_zlib_footer(
+                    data[len(data) - 4:], adler32_host(out))
+
+            return data[start:len(data) - 4], verify_zlib
+        start = containers.parse_gzip_header(data)
+
+        def verify_gzip(out, data=data):
+            containers.verify_gzip_footer(
+                data[len(data) - 8:], crc32_host(out), len(out))
+
+        return data[start:len(data) - 8], verify_gzip
+
+    def _decompress_batch_device(self, jobs) -> list:
+        from .ops.pallas.inflate_v2 import IN_WORDS, inflate_device
+
+        payloads, verifies, caps = [], [], []
+        for data, cap in jobs:
+            try:
+                payload, verify = self._split_container(data)
+            except Exception:
+                payload, verify = None, None
+            payloads.append(payload)
+            verifies.append(verify)
+            caps.append(cap)
+        try:
+            decoded = inflate_device(
+                [p if p else b"" for p in payloads])
+        except Exception:
+            decoded = [None] * len(payloads)
+        out = []
+        for (data, cap), payload, verify, dec in zip(
+                jobs, payloads, verifies, decoded):
+            if payload is not None and dec is not None and len(dec) <= cap:
+                try:
+                    verify(dec)
+                    out.append(dec)
+                    continue
+                except Exception:
+                    pass   # e.g. trailing garbage: host path decides
+            # device couldn't take it (over-cap/bad): host fallback
+            out.append(self._decompress_item((data, cap)))
+        return out
 
     def _decompress_one(self, data: bytes, max_out: int) -> bytes:
         from .api import Decompressor
@@ -142,7 +207,12 @@ class BatchDecompressor:
 
     def decompress_batch(self, inputs, max_out_sizes) -> list:
         """Thread-pool parallel with per-item fault isolation (reference
-        src/batch.rs:74-101)."""
-        from .parallel.hostpool import pmap
+        src/batch.rs:74-101); optional device offload (see class doc)."""
         jobs = [(bytes(d), int(c)) for d, c in zip(inputs, max_out_sizes)]
+        if self.use_device and jobs:
+            try:
+                return self._decompress_batch_device(jobs)
+            except Exception:
+                pass   # silent host fallback
+        from .parallel.hostpool import pmap
         return pmap(self._decompress_item, jobs)
