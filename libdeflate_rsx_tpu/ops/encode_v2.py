@@ -45,18 +45,18 @@ from .static_codes import literal_code, match_token
 U = jnp.uint32
 ROW = 32                  # cover/pack row width (bytes)
 ROW_OUT = 48              # row-local output buffer (bytes); max 9*32/8+pad
-MAX_VEC_ML = 16           # exact verified match length from carried words
+MAX_VEC_ML = 8            # exact verified match length from carried words
 MIN_MATCH = 4
 BLOCK_PAD = MAX_MATCH_LEN + 8
 _NEG = jnp.int32(-(1 << 20))
 
 
 def _words(data_padded: jnp.ndarray, s: int):
-    """Little-endian 4-byte words at offsets 0,4,8,12 from each position."""
+    """Little-endian 4-byte words at offsets 0 and 4 from each position."""
     d = data_padded.astype(U)
     full = (d[:-3] | (d[1:-2] << U(8)) | (d[2:-1] << U(16))
             | (d[3:] << U(24)))
-    return full[:s], full[4:s + 4], full[8:s + 8], full[12:s + 12]
+    return full[:s], full[4:s + 4]
 
 
 def _prefix_bytes(x: jnp.ndarray) -> jnp.ndarray:
@@ -70,12 +70,17 @@ def _prefix_bytes(x: jnp.ndarray) -> jnp.ndarray:
 def find_matches_v2(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
                     block_size: int):
     """(ml, dist) per position: nearest-previous-occurrence matches with
-    exact lengths up to MAX_VEC_ML, via one stable sort + roll-compares."""
+    exact lengths up to MAX_VEC_ML, via one stable sort + roll-compares.
+
+    The sort carries only (key, pos, next-word): 12 B/element — sort
+    passes dominate the encode pipeline, so payload width is throughput
+    (the reference's equivalent cost knob is hash-chain depth). Lengths
+    beyond 8 come from extend_runs' same-distance composition."""
     s = block_size
-    w0, w1, w2, w3 = _words(data_padded, s)
+    w0, w1 = _words(data_padded, s)
     pos = jnp.arange(s, dtype=jnp.int32)
-    w0s, poss, w1s, w2s, w3s = jax.lax.sort(
-        (w0, pos, w1, w2, w3), dimension=0, num_keys=1, is_stable=True)
+    w0s, poss, w1s = jax.lax.sort(
+        (w0, pos, w1), dimension=0, num_keys=1, is_stable=True)
 
     def prev(a):
         return jnp.concatenate([a[:1] * 0, a[:-1]])
@@ -86,12 +91,8 @@ def find_matches_v2(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
     ok = same & (dist >= 1) & (dist <= WINDOW_SIZE)
 
     x1 = w1s ^ prev(w1s)
-    x2 = w2s ^ prev(w2s)
-    x3 = w3s ^ prev(w3s)
     e1 = jnp.where(x1 == 0, 4, _prefix_bytes(x1))
-    e2 = jnp.where(x2 == 0, 4, _prefix_bytes(x2))
-    e3 = jnp.where(x3 == 0, 4, _prefix_bytes(x3))
-    ml = 4 + e1 + jnp.where(e1 == 4, e2 + jnp.where(e2 == 4, e3, 0), 0)
+    ml = 4 + e1
     ml = jnp.where(ok, ml, 0)
     dist = jnp.where(ok, dist, 0)  # garbage dist would corrupt the packing
 
@@ -108,30 +109,33 @@ def find_matches_v2(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
 def extend_runs(ml: jnp.ndarray, dist: jnp.ndarray, valid_len: jnp.ndarray):
     """Extend capped matches through same-distance runs to MAX_MATCH_LEN.
 
-    If positions i and i+1 both match at distance d, then the match at i
-    is at least 1 + ml[i+1] long. The sequential recurrence
-    ext[i] = max(ml[i], same ? 1 + ext[i+1] : ml[i]) is composed of
-    functions h(a) = max(c, s ? k + a : -inf), which are closed under
-    composition — a reverse associative scan."""
+    If positions i..t all match at distance d contiguously, the match at
+    i reaches (t - i) + ml[t]. So ext[i] = max over the same-distance
+    chain from i of (ml[t] + t) minus i — a SEGMENTED reverse max-scan
+    of z[t] = ml[t] + t with continuation flags, an idempotent tuple op
+    that runs as a two-level scan (half the passes of the previous
+    3-carry function-composition scan)."""
     s = ml.shape[0]
+    pos = jnp.arange(s, dtype=jnp.int32)
     nxt_dist = jnp.concatenate([dist[1:], jnp.zeros(1, jnp.int32)])
     nxt_ml = jnp.concatenate([ml[1:], jnp.zeros(1, jnp.int32)])
     matched = ml >= MIN_MATCH
     same = matched & (nxt_ml >= MIN_MATCH) & (nxt_dist == dist)
-    c = jnp.where(matched, ml, 0)
-    k = jnp.ones(s, jnp.int32)
+    z = jnp.where(matched, ml + pos, _NEG)
 
-    def combine(a, b):
-        # reverse=True feeds the later element as `a`; we need the earlier
-        # function applied last: (f_earlier ∘ f_later)(x) with b = earlier.
-        c2, s2, k2 = a
-        c1, s1, k1 = b
-        c_ = jnp.maximum(c1, jnp.where(s1, k1 + c2, _NEG))
-        return c_, s1 & s2, k1 + k2
-
-    ce, _, _ = jax.lax.associative_scan(combine, (c, same, k), reverse=True)
-    pos = jnp.arange(s, dtype=jnp.int32)
-    ext = jnp.minimum(jnp.minimum(ce, MAX_MATCH_LEN), valid_len - pos)
+    # manual segmented reverse Hillis-Steele: log2(n) doubling steps of
+    # shifted elementwise combines (see _two_level for why not
+    # jax.lax.associative_scan). Flags compose by AND along the shift.
+    v, f = z, same
+    d = 1
+    while d < s:
+        vs = jnp.concatenate([v[d:], jnp.full(d, _NEG, jnp.int32)])
+        fsh = jnp.concatenate([f[d:], jnp.zeros(d, bool)])
+        v = jnp.maximum(v, jnp.where(f, vs, _NEG))
+        f = f & fsh
+        d *= 2
+    ext = jnp.minimum(jnp.minimum(v - pos, MAX_MATCH_LEN),
+                      valid_len - pos)
     return jnp.where(matched, jnp.maximum(ext, 0), 0)
 
 
@@ -142,21 +146,20 @@ _INF = jnp.int32(1 << 28)
 _SCAN_CHUNK = 256
 
 
-def _two_level(op, x: jnp.ndarray, chunk: int = _SCAN_CHUNK) -> jnp.ndarray:
-    """Inclusive forward prefix scan of a commutative-idempotent op
-    (max/min) in two levels: within-chunk scans plus a chunk-carry scan.
-    ~half the full-array passes of a flat associative_scan — each pass
-    carries a fixed dispatch cost on this runtime."""
+def _two_level(op, x: jnp.ndarray, fill: int = -(1 << 28)) -> jnp.ndarray:
+    """Inclusive forward prefix scan of an idempotent op (max/min) as a
+    manual Hillis-Steele doubling loop: log2(n) shifted-combine steps of
+    plain elementwise ops. Measured ~10-30x faster on this backend than
+    jax.lax.associative_scan in ANY shape (the generic odd-even scan
+    construction dominates the encode pipeline's profile; simple shifts
+    fuse into cheap VPU passes). `fill` must be op's identity."""
     n = x.shape[0]
-    r = n // chunk
-    x2 = x.reshape(r, chunk)
-    within = jax.lax.associative_scan(op, x2, axis=1)
-    totals = within[:, -1]
-    tot = jax.lax.associative_scan(op, totals)
-    carry = jnp.concatenate([totals[:1] * 0 + x[0], tot[:-1]])  # see below
-    # row 0 gets x[0] as its carry, which within-row idempotence absorbs
-    # (max/min), so no identity element is needed.
-    return op(within, carry[:, None]).reshape(n)
+    d = 1
+    while d < n:
+        x = op(x, jnp.concatenate(
+            [jnp.full(d, fill, x.dtype), x[:-d]]))
+        d *= 2
+    return x
 
 
 def select_tokens(ml: jnp.ndarray, dist: jnp.ndarray,
@@ -205,28 +208,34 @@ def select_tokens(ml: jnp.ndarray, dist: jnp.ndarray,
     covered = selmax_excl > pos               # inside a phase-1 match body
 
     # --- phase 2: exact greedy walk per WTILE cell over the gaps ---------
-    # short matches are capped at their cell boundary, so the next-sel1
-    # cap only needs WITHIN-CELL lookahead: a tile-local reverse scan
-    nt0 = s // WTILE
-    nxt1_t = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(sel1, pos, _INF).reshape(nt0, WTILE),
-        axis=1, reverse=True)
+    # tile-local reverse min scans as manual doubling shifts along the
+    # lane axis (log2(WTILE) elementwise steps — see _two_level)
+    nt = s // WTILE
+
+    def tile_rev_min(m):
+        d = 1
+        while d < WTILE:
+            sh = jnp.concatenate(
+                [m[:, d:], jnp.full((nt, d), _INF, jnp.int32)], axis=1)
+            m = jnp.minimum(m, sh)
+            d *= 2
+        return m
+
+    nxt1_t = tile_rev_min(jnp.where(sel1, pos, _INF).reshape(nt, WTILE))
     nxt1 = nxt1_t.reshape(s)
-    nxt1_excl = jnp.concatenate([nxt1[1:], jnp.full(1, _INF, jnp.int32)])
-    # positions at cell ends take the next cell's first value: those have
-    # ml_short capped to <= 1 anyway, so the in-cell approximation is safe
+    # next selected-1 position strictly after, within the cell; the cell
+    # end takes INF (those positions have ml_short <= 1 anyway)
+    nxt1_excl = jnp.concatenate(
+        [nxt1.reshape(nt, WTILE)[:, 1:],
+         jnp.full((nt, 1), _INF, jnp.int32)], axis=1).reshape(s)
     ml_short = jnp.minimum(ml, WTILE - (pos & (WTILE - 1)))
     ml_short = jnp.minimum(ml_short, nxt1_excl - pos)
     short_ok = matched & ~sel1 & ~covered & (ml_short >= MIN_MATCH)
 
-    nt = s // WTILE
     lane = jnp.arange(WTILE, dtype=jnp.int32)[None, :]
     # next short-match candidate at-or-after each position, tile-local
-    nxt_short = jax.lax.associative_scan(
-        jnp.minimum,
-        jnp.where(short_ok.reshape(nt, WTILE), lane, _INF),
-        axis=1, reverse=True)
-    nxt_t = jnp.clip(nxt_short, 0, WTILE)
+    nxt_t = jnp.clip(tile_rev_min(
+        jnp.where(short_ok.reshape(nt, WTILE), lane, _INF)), 0, WTILE)
     ml_t = ml_short.reshape(nt, WTILE)
     # exact greedy walk per cell, jumping candidate-to-candidate: each
     # iteration selects one match (everything skipped in between is a
@@ -285,7 +294,8 @@ def encode_rows_static(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
     val = jnp.where(sel, mv, jnp.where(lit, lv, U(0)))
     nb = jnp.where(sel, mn, jnp.where(lit, ln, U(0))).astype(jnp.int32)
 
-    # global bit positions (3-bit block header first)
+    # global bit positions (3-bit block header first); jnp.cumsum
+    # lowers efficiently here (unlike lax.associative_scan)
     ends = jnp.cumsum(nb)
     bitpos = 3 + ends - nb
     # row segmentation for packing: row r's base bit = bitpos of lane r*ROW
