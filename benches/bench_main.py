@@ -1,20 +1,25 @@
 #!/usr/bin/env python3
 """Comprehensive benchmark harness (reference benches/bench_main.rs parity).
 
-Groups: Compress (levels x sizes), Decompress (levels x sizes), Checksums
-(large/micro/nano/tail/unaligned), per-offset decode, Batch, Stream — each
-head-to-head with the C control arm (CPython zlib / binascii) on the same
-machine, mirroring the reference's criterion-vs-libdeflater method.
+Groups: Compress (levels x sizes xxs..xl), Decompress (source levels x
+sizes), Checksums (large/micro/nano/tail/unaligned), per-offset decode
+(1..64), Batch (compress+decompress), Stream (encode+decode), and the
+Silesia-like mixed corpus (BASELINE.md's headline metric: level-6
+compress+decompress throughput and ratio) — each head-to-head with TWO
+control arms on the same machine: CPython zlib and C libdeflate
+(benches/libdeflate_control.py), mirroring the reference's
+criterion-vs-libdeflater method (reference benches/bench_main.rs:977-1122).
 
 Writes benches/results.json and prints a table. Throughput is bytes/s of
 UNCOMPRESSED data (the reference's convention).
 
-Usage: python benches/bench_main.py [--quick] [--device]
+Usage: python benches/bench_main.py [--quick] [--device] [--no-silesia]
 """
 
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import os
 import sys
@@ -24,6 +29,9 @@ import zlib
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import libdeflate_control as ldc  # noqa: E402  (control arm)
 
 
 def pattern(size: int, seed: int = 1234) -> bytes:
@@ -46,84 +54,142 @@ def timeit(fn, *args, min_time: float = 0.2, max_iter: int = 50) -> float:
             return dt / n
 
 
+class Harness:
+    def __init__(self) -> None:
+        self.results: list[dict] = []
+
+    def rec(self, group: str, name: str, nbytes: int, secs: float,
+            zlib_secs: float | None = None, ld_secs: float | None = None,
+            extra: dict | None = None) -> None:
+        row = {"group": group, "name": name,
+               "throughput_mbps": round(nbytes / secs / 1e6, 2)}
+        line = f"{group:12s} {name:28s} {row['throughput_mbps']:9.1f} MB/s"
+        if zlib_secs is not None:
+            row["control_mbps"] = round(nbytes / zlib_secs / 1e6, 2)
+            row["vs_control"] = round(zlib_secs / secs, 3)
+            line += f"  [zlib x{row['vs_control']}"
+            if ld_secs is not None:
+                row["libdeflate_mbps"] = round(nbytes / ld_secs / 1e6, 2)
+                row["vs_libdeflate"] = round(ld_secs / secs, 3)
+                line += f"  libdeflate x{row['vs_libdeflate']}"
+            line += "]"
+        if extra:
+            row.update(extra)
+        self.results.append(row)
+        print(line, flush=True)
+
+
+def corpus_files(quick: bool) -> list[tuple[str, bytes]]:
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "corpus")
+    if not os.path.isdir(d) or not os.listdir(d):
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts"))
+        import gen_silesia_like
+        gen_silesia_like.generate(d)
+    names = sorted(os.listdir(d))
+    if quick:
+        names = ["dickens", "mozilla", "nci", "sao"]
+    return [(n, open(os.path.join(d, n), "rb").read()) for n in names]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--device", action="store_true",
-                    help="include device (JAX) encoder/checksum groups")
+                    help="include device (JAX) groups")
+    ap.add_argument("--no-silesia", action="store_true")
     args = ap.parse_args()
 
     import libdeflate_rsx_tpu as ld
 
-    results: list[dict] = []
+    h = Harness()
+    rec = h.rec
+    have_ldc = ldc.available()
 
-    def rec(group, name, nbytes, secs, control=None):
-        row = {"group": group, "name": name,
-               "throughput_mbps": round(nbytes / secs / 1e6, 2)}
-        if control is not None:
-            row["control_mbps"] = round(nbytes / control / 1e6, 2)
-            row["vs_control"] = round(control / secs, 3)
-        results.append(row)
-        ctrl = (f"  [zlib {row['control_mbps']:9.1f} MB/s  "
-                f"x{row['vs_control']}]" if control else "")
-        print(f"{group:12s} {name:28s} {row['throughput_mbps']:9.1f} MB/s{ctrl}")
-
-    sizes = {"xxs": 1 << 10, "s": 64 << 10, "m": 1 << 20}
+    sizes = {"xxs": 1 << 10, "xs": 16 << 10, "s": 64 << 10, "m": 1 << 20}
     if not args.quick:
         sizes["l"] = 4 << 20
+        sizes["xl"] = 64 << 20
 
     # -- Compress (host engine) -------------------------------------------
-    levels = [1, 6] if args.quick else [1, 6, 9, 10]
+    levels = [1, 6] if args.quick else [1, 6, 9, 10, 12]
     for name, size in sizes.items():
         data = pattern(size)
         for level in levels:
-            if level >= 10 and size > (64 << 10):
-                continue  # DP parser: python-host tier, keep inputs small
+            if level >= 10 and size > (1 << 20):
+                continue  # DP parser tier: keep the bench bounded
+            if level == 9 and size > (4 << 20):
+                continue
             c = ld.Compressor(level)
             secs = timeit(c.compress_deflate, data)
-            ctrl = timeit(lambda d: zlib.compress(d, min(level, 9)), data)
-            rec("compress", f"level{level}/{name}", size, secs, ctrl)
+            zsecs = timeit(lambda d: zlib.compress(d, min(level, 9)), data)
+            lsecs = timeit(
+                lambda d: ldc.compress(d, level), data) if have_ldc else None
+            rec("compress", f"level{level}/{name}", size, secs, zsecs, lsecs)
 
-    # -- Decompress (host engine) -----------------------------------------
+    # -- Decompress (host C decoder; sources from several levels) ----------
+    dec_levels = [6] if args.quick else [1, 6, 9]
     for name, size in sizes.items():
-        if size > (1 << 20):
-            continue  # python host decoder tier
         data = pattern(size)
-        comp = zlib.compress(data, 6)[2:-4]
-        d = ld.Decompressor()
-        secs = timeit(d.decompress_deflate, comp, size)
-        ctrl = timeit(lambda c: zlib.decompress(c, -15), comp)
-        rec("decompress", f"level6/{name}", size, secs, ctrl)
+        for lvl in dec_levels:
+            comp = zlib.compress(data, lvl)[2:-4]
+            d = ld.Decompressor()
+            secs = timeit(d.decompress_deflate, comp, size)
+            zsecs = timeit(lambda c: zlib.decompress(c, -15), comp)
+            lsecs = timeit(lambda c: ldc.decompress(c, size),
+                           comp) if have_ldc else None
+            rec("decompress", f"level{lvl}/{name}", size, secs, zsecs, lsecs)
 
     # -- Checksums ----------------------------------------------------------
     for name, size in [("large", 4 << 20), ("micro", 4096), ("nano", 64),
                        ("tail", 1031), ("unaligned", (1 << 20) + 1)]:
         data = pattern(size)
         secs = timeit(ld.crc32, data)
-        ctrl = timeit(zlib.crc32, data)
-        rec("crc32", name, size, secs, ctrl)
+        zsecs = timeit(zlib.crc32, data)
+        lsecs = timeit(ldc.crc32, data) if have_ldc else None
+        rec("crc32", name, size, secs, zsecs, lsecs)
         secs = timeit(ld.adler32, data)
-        ctrl = timeit(zlib.adler32, data)
-        rec("adler32", name, size, secs, ctrl)
+        zsecs = timeit(zlib.adler32, data)
+        lsecs = timeit(ldc.adler32, data) if have_ldc else None
+        rec("adler32", name, size, secs, zsecs, lsecs)
 
-    # -- Per-offset decode (offsets 1..32) ----------------------------------
-    for off in ([3, 8, 18] if args.quick else [1, 2, 3, 4, 8, 16, 18, 32]):
+    # -- Per-offset decode (reference offsets 1..64 sweep) ------------------
+    offsets = [3, 8, 18] if args.quick else list(range(1, 65))
+    for off in offsets:
         base = bytes((37 * i + 11) % 256 for i in range(off))
         data = (base * ((1 << 20) // off + 1))[: 1 << 20]
         comp = zlib.compress(data, 9)[2:-4]
         d = ld.Decompressor()
-        secs = timeit(d.decompress_deflate, comp, len(data))
-        ctrl = timeit(lambda c: zlib.decompress(c, -15), comp)
-        rec("offset", f"decode/off{off}", len(data), secs, ctrl)
+        secs = timeit(d.decompress_deflate, comp, len(data), min_time=0.08)
+        zsecs = timeit(lambda c: zlib.decompress(c, -15), comp,
+                       min_time=0.08)
+        lsecs = timeit(lambda c: ldc.decompress(c, len(data)), comp,
+                       min_time=0.08) if have_ldc else None
+        rec("offset", f"decode/off{off}", len(data), secs, zsecs, lsecs)
 
     # -- Batch ---------------------------------------------------------------
     chunks = [pattern(32 << 10, seed=i) for i in range(32)]
-    bc = ld.BatchCompressor(level=1)
-    secs = timeit(bc.compress_batch, chunks)
-    rec("batch", "compress/32x32KB/level1", 32 * (32 << 10), secs)
+    for level in (1, 6):
+        bc = ld.BatchCompressor(level=level)
+        secs = timeit(bc.compress_batch, chunks)
+        zsecs = timeit(lambda cs: [zlib.compress(c, level) for c in cs],
+                       chunks)
+        lsecs = timeit(lambda cs: [ldc.compress(c, level) for c in cs],
+                       chunks) if have_ldc else None
+        rec("batch", f"compress/32x32KB/level{level}",
+            32 * (32 << 10), secs, zsecs, lsecs)
+    comp_chunks = [zlib.compress(c, 6)[2:-4] for c in chunks]
+    caps = [32 << 10] * len(chunks)
+    bd = ld.BatchDecompressor()
+    secs = timeit(bd.decompress_batch, comp_chunks, caps)
+    zsecs = timeit(lambda cs: [zlib.decompress(c, -15) for c in cs],
+                   comp_chunks)
+    lsecs = timeit(lambda cs: [ldc.decompress(c, 32 << 10) for c in cs],
+                   comp_chunks) if have_ldc else None
+    rec("batch", "decompress/32x32KB", 32 * (32 << 10), secs, zsecs, lsecs)
 
     # -- Stream ---------------------------------------------------------------
-    import io
     data = pattern(2 << 20)
 
     def stream_encode(d):
@@ -135,6 +201,71 @@ def main() -> None:
     secs = timeit(stream_encode, data)
     rec("stream", "encode/2MB/level6", len(data), secs)
 
+    comp = zlib.compress(data, 6)[2:-4]
+
+    def stream_decode(c):
+        return ld.DeflateDecoder(io.BytesIO(c)).read()
+
+    secs = timeit(stream_decode, comp)
+    zsecs = timeit(lambda c: zlib.decompress(c, -15), comp)
+    rec("stream", "decode/2MB/level6", len(data), secs, zsecs)
+
+    # -- Silesia-like corpus (BASELINE.md headline metric) --------------------
+    if not args.no_silesia:
+        members = corpus_files(args.quick)
+        for level in ([6] if args.quick else [1, 6]):
+            tot = {"n": 0, "ours": 0.0, "zlib": 0.0, "ld": 0.0,
+                   "ours_c": 0, "zlib_c": 0, "ld_c": 0}
+            for mname, data in members:
+                c = ld.Compressor(level)
+                ours = c.compress_deflate(data)
+                secs = timeit(c.compress_deflate, data, min_time=0.1,
+                              max_iter=5)
+                zc = zlib.compress(data, level)[2:-4]
+                zsecs = timeit(lambda d: zlib.compress(d, level), data,
+                               min_time=0.1, max_iter=5)
+                lc = ldc.compress(data, level) if have_ldc else b"?"
+                lsecs = timeit(lambda d: ldc.compress(d, level), data,
+                               min_time=0.1, max_iter=5) if have_ldc else None
+                rec("silesia", f"compress/level{level}/{mname}",
+                    len(data), secs, zsecs, lsecs,
+                    extra={"ratio": round(len(data) / len(ours), 3),
+                           "zlib_ratio": round(len(data) / len(zc), 3),
+                           "libdeflate_ratio":
+                               round(len(data) / len(lc), 3)})
+                tot["n"] += len(data)
+                tot["ours"] += secs
+                tot["zlib"] += zsecs
+                tot["ld"] += lsecs or 0.0
+                tot["ours_c"] += len(ours)
+                tot["zlib_c"] += len(zc)
+                tot["ld_c"] += len(lc)
+            rec("silesia", f"compress/level{level}/TOTAL", tot["n"],
+                tot["ours"], tot["zlib"], tot["ld"] if have_ldc else None,
+                extra={"ratio": round(tot["n"] / tot["ours_c"], 3),
+                       "zlib_ratio": round(tot["n"] / tot["zlib_c"], 3),
+                       "libdeflate_ratio":
+                           round(tot["n"] / tot["ld_c"], 3)})
+        # decompress at level 6 sources
+        tot = {"n": 0, "ours": 0.0, "zlib": 0.0, "ld": 0.0}
+        for mname, data in members:
+            comp = zlib.compress(data, 6)[2:-4]
+            d = ld.Decompressor()
+            secs = timeit(d.decompress_deflate, comp, len(data),
+                          min_time=0.1, max_iter=8)
+            zsecs = timeit(lambda c: zlib.decompress(c, -15), comp,
+                           min_time=0.1, max_iter=8)
+            lsecs = timeit(lambda c: ldc.decompress(c, len(data)), comp,
+                           min_time=0.1, max_iter=8) if have_ldc else None
+            rec("silesia", f"decompress/level6/{mname}", len(data), secs,
+                zsecs, lsecs)
+            tot["n"] += len(data)
+            tot["ours"] += secs
+            tot["zlib"] += zsecs
+            tot["ld"] += lsecs or 0.0
+        rec("silesia", "decompress/level6/TOTAL", tot["n"], tot["ours"],
+            tot["zlib"], tot["ld"] if have_ldc else None)
+
     # -- Device groups --------------------------------------------------------
     if args.device:
         from libdeflate_rsx_tpu.models.greedy_static import (
@@ -144,21 +275,21 @@ def main() -> None:
 
         data = pattern(16 << 20)
         secs = timeit(deflate_device_static, data, 65536, 16)
-        ctrl = timeit(lambda d: zlib.compress(d, 1), data)
-        rec("device", "compress/16MB/level1-tier", len(data), secs, ctrl)
+        zsecs = timeit(lambda d: zlib.compress(d, 1), data)
+        rec("device", "compress/16MB/level1-tier", len(data), secs, zsecs)
         data = pattern(8 << 20)
         secs = timeit(crc32_device, data)
-        ctrl = timeit(zlib.crc32, data)
-        rec("device", "crc32/8MB", len(data), secs, ctrl)
+        zsecs = timeit(zlib.crc32, data)
+        rec("device", "crc32/8MB", len(data), secs, zsecs)
         secs = timeit(adler32_device, data)
-        ctrl = timeit(zlib.adler32, data)
-        rec("device", "adler32/8MB", len(data), secs, ctrl)
+        zsecs = timeit(zlib.adler32, data)
+        rec("device", "adler32/8MB", len(data), secs, zsecs)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
-    print(f"\n{len(results)} results -> {out}")
+        json.dump(h.results, f, indent=1)
+    print(f"\n{len(h.results)} results -> {out}")
 
 
 if __name__ == "__main__":

@@ -28,6 +28,34 @@ from .utils.errors import DecompressStatus, DeflateError, LevelError
 DEVICE_LEVELS_STORED = {0}
 DEVICE_LEVELS_GREEDY = {1, 2, 3}
 
+# minimum sustained host->device->host round-trip throughput for AUTO
+# offload to make sense (the device encoder itself sustains ~0.25 GB/s
+# per chip, so a link much slower than that dominates end-to-end time)
+_LINK_MIN_BPS = 200e6
+_link_ok: bool | None = None
+
+
+def _link_fast_enough() -> bool:
+    """One-time probe of the host<->device link (cached per process)."""
+    global _link_ok
+    if _link_ok is None:
+        try:
+            import time
+
+            import jax
+            import jax.numpy as jnp
+            buf = np.zeros(1 << 22, np.uint8)           # 4 MiB
+            dev = jax.device_put(buf)
+            dev.block_until_ready()                     # warm path
+            t0 = time.perf_counter()
+            dev = jax.device_put(buf)
+            np.asarray(dev + jnp.uint8(0))              # force both ways
+            dt = time.perf_counter() - t0
+            _link_ok = (2 * len(buf) / dt) >= _LINK_MIN_BPS
+        except Exception:
+            _link_ok = False
+    return _link_ok
+
 
 class BatchCompressor:
     """Compress many independent buffers at once.
@@ -65,10 +93,15 @@ class BatchCompressor:
         if self.use_device:
             return True
         # auto mode: offload only when a real accelerator backs JAX — the
-        # CPU backend would lose to the native host codec
+        # CPU backend would lose to the native host codec — AND the
+        # host<->device link is fast enough that the transfer doesn't
+        # swamp the device compute (a slow development tunnel measured
+        # ~25-45 MB/s turns offload into a 1000x cliff)
         try:
             import jax
-            return jax.default_backend() != "cpu"
+            if jax.default_backend() == "cpu":
+                return False
+            return _link_fast_enough()
         except Exception:
             return False
 

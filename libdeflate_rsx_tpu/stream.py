@@ -131,10 +131,15 @@ class DeflateDecoder:
         self._window = bytearray()      # history + undrained output
         self._drained = 0
         self._eof_in = False
+        self._fast_done = False
+        self._used = False
 
     @property
     def finished(self) -> bool:
-        return self._inflater.finished and self._available() == 0
+        return self._done() and self._available() == 0
+
+    def _done(self) -> bool:
+        return self._fast_done or self._inflater.finished
 
     def _available(self) -> int:
         return len(self._window) - self._drained
@@ -159,7 +164,57 @@ class DeflateDecoder:
         self._in += got
         return True
 
+    def _read_all_fast(self) -> bytes | None:
+        """Whole-stream fast path: when the caller wants everything
+        (read(-1)) from a seekable source (file/BytesIO — EOF is
+        well-defined, slurping cannot block a live socket), pull the
+        remaining input and decode it with the native one-shot decoder
+        (the reference's whole-stream fast path shape, reference
+        src/decompress/x86.rs:2192-2424). Returns None to fall back to
+        the resumable engine (non-seekable reader, no native library)."""
+        try:
+            if not self._reader.seekable():
+                return None
+        except Exception:
+            return None
+        from .native.host import native_inflate
+        from .utils.errors import InsufficientSpaceError
+        while self._refill_big():
+            pass
+        comp = bytes(self._in)
+        cap = max(4 * len(comp), 1 << 20)
+        while True:
+            try:
+                res = native_inflate(comp, cap)
+            except InsufficientSpaceError:
+                cap *= 2
+                continue
+            break
+        if res is None:
+            return None
+        decoded, consumed = res
+        del self._in[:consumed]
+        self._fast_done = True
+        return decoded
+
+    def _refill_big(self) -> bool:
+        if self._eof_in:
+            return False
+        got = self._reader.read(1 << 20)
+        if not got:
+            self._eof_in = True
+            return False
+        self._in += got
+        return True
+
     def read(self, size: int = -1) -> bytes:
+        if (size < 0 and not self._used and not self._window
+                and not self._done()):
+            self._used = True
+            fast = self._read_all_fast()
+            if fast is not None:
+                return fast
+        self._used = True
         out = bytearray()
         while size < 0 or len(out) < size:
             avail = self._available()
@@ -169,7 +224,7 @@ class DeflateDecoder:
                 self._drained += take
                 self._slide()
                 continue
-            if self._inflater.finished:
+            if self._done():
                 break
             status, consumed = self._inflater.step(
                 bytes(self._in), self._window,
