@@ -273,10 +273,28 @@ def main() -> None:
         from libdeflate_rsx_tpu.ops.checksums import (
             adler32_device, crc32_device)
 
+        from libdeflate_rsx_tpu.models.greedy_dynamic import (
+            deflate_device_dynamic)
+
         data = pattern(16 << 20)
         secs = timeit(deflate_device_static, data, 65536, 16)
         zsecs = timeit(lambda d: zlib.compress(d, 1), data)
         rec("device", "compress/16MB/level1-tier", len(data), secs, zsecs)
+        # dynamic tier: ratio is the point; measured on the text-like
+        # corpus member where entropy coding matters
+        tdata = corpus_files(True)[0][1]            # dickens
+        comp = deflate_device_dynamic(tdata)
+        scomp = deflate_device_static(tdata)
+        secs = timeit(deflate_device_dynamic, tdata, min_time=0.5,
+                      max_iter=8)
+        zsecs = timeit(lambda d: zlib.compress(d, 6), tdata, min_time=0.5,
+                       max_iter=8)
+        rec("device", "compress/dickens/dynamic-tier", len(tdata), secs,
+            zsecs, extra={
+                "ratio": round(len(tdata) / len(comp), 3),
+                "static_ratio": round(len(tdata) / len(scomp), 3),
+                "zlib6_ratio": round(
+                    len(tdata) / len(zlib.compress(tdata, 6)), 3)})
         data = pattern(8 << 20)
         secs = timeit(crc32_device, data)
         zsecs = timeit(zlib.crc32, data)

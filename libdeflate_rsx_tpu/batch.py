@@ -27,6 +27,8 @@ from .utils.errors import DecompressStatus, DeflateError, LevelError
 # levels served by the device encoders; higher levels use the host engine
 DEVICE_LEVELS_STORED = {0}
 DEVICE_LEVELS_GREEDY = {1, 2, 3}
+# dynamic-Huffman device tier (per-block code tables): the ratio tier
+DEVICE_LEVELS_DYNAMIC = {4, 5, 6, 7, 8, 9}
 
 # minimum sustained host->device->host round-trip throughput for AUTO
 # offload to make sense (the device encoder itself sustains ~0.25 GB/s
@@ -88,7 +90,8 @@ class BatchCompressor:
     def _device_wanted(self) -> bool:
         if self.use_device is False:
             return False
-        if self.level not in DEVICE_LEVELS_STORED | DEVICE_LEVELS_GREEDY:
+        if self.level not in (DEVICE_LEVELS_STORED | DEVICE_LEVELS_GREEDY
+                              | DEVICE_LEVELS_DYNAMIC):
             return False
         if self.use_device:
             return True
@@ -109,6 +112,9 @@ class BatchCompressor:
         if self.level in DEVICE_LEVELS_STORED:
             from .models.stored import deflate_device_stored
             payload = deflate_device_stored(data)
+        elif self.level in DEVICE_LEVELS_DYNAMIC:
+            from .models.greedy_dynamic import deflate_device_dynamic
+            payload = deflate_device_dynamic(data)
         else:
             from .models.greedy_static import deflate_device_static
             payload = deflate_device_static(data)

@@ -127,10 +127,41 @@ def get_lib():
         lib.adler32_c.argtypes = [
             ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64]
         lib.adler32_c.restype = ctypes.c_uint32
+        lib.dyn_tables_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.dyn_tables_c.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None
     return _lib
+
+
+_HDR_CAP = 512
+
+
+def dyn_tables_native(ll_hist, of_hist, final: bool):
+    """Histograms -> (ll_tab (288,) u32 `code|len<<16`, of_tab (30,) u32,
+    header bytes, header bits) via the C builder, or None when no native
+    library is available. Raises on Huffman build failure (histograms
+    from the device pipeline are always buildable)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    llf = np.ascontiguousarray(ll_hist, dtype=np.uint32)
+    off = np.ascontiguousarray(of_hist[:30], dtype=np.uint32)
+    ll_tab = np.zeros(288, np.uint32)
+    of_tab = np.zeros(30, np.uint32)
+    hdr = np.zeros(_HDR_CAP, np.uint8)
+    bits = lib.dyn_tables_c(
+        llf.ctypes.data, off.ctypes.data, 1 if final else 0,
+        ll_tab.ctypes.data, of_tab.ctypes.data, hdr.ctypes.data, _HDR_CAP)
+    if bits < 0:
+        raise RuntimeError(f"dyn_tables_c failed: {bits}")
+    return ll_tab, of_tab, hdr[: (bits + 7) // 8].tobytes(), int(bits)
 
 
 def assemble_rows_native(out, rows, byte_off, extent) -> bool:

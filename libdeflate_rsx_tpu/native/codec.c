@@ -1729,3 +1729,66 @@ uint32_t adler32_c(uint32_t adler, const uint8_t *p, int64_t n) {
     }
     return (s2 << 16) | s1;
 }
+
+/* ------------------------------------------------------------------ */
+/* dynamic-Huffman table + header builder for the TPU device encoder   */
+/* ------------------------------------------------------------------ */
+
+/* Per-block service for the device dynamic tier (ops/encode_dynamic.py):
+ * the device computes symbol histograms; this turns them into
+ * length-limited canonical code tables plus the serialized dynamic
+ * block header (reference src/compress/mod.rs:1775-1883 is the analog).
+ *
+ * llf_in: 288 litlen freqs (EOB counted here), off_in: 30 offset freqs.
+ * ll_out[288] / of_out[30]: code | len<<16 (codes bit-reversed for
+ * LSB-first emission). hdr_out: bit-packed header from bit 0 including
+ * the 3-bit block header (BFINAL | BTYPE=10). Returns total header bits
+ * (> 0), or -1 on Huffman build failure / -2 on overflow. */
+int64_t dyn_tables_c(const uint32_t *llf_in, const uint32_t *off_in,
+                     int final, uint32_t *ll_out, uint32_t *of_out,
+                     uint8_t *hdr_out, int64_t hdr_cap) {
+    uint64_t llf[NUM_LITLEN] = {0}, off_f[NUM_OFFSET] = {0};
+    for (int i = 0; i < NUM_LITLEN; i++) llf[i] = llf_in[i];
+    for (int i = 0; i < 30; i++) off_f[i] = off_in[i];
+    llf[256] += 1;  /* end-of-block */
+    uint8_t dll[NUM_LITLEN], dof[NUM_OFFSET];
+    if (pm_lengths(llf, NUM_LITLEN, MAX_LL_LEN, dll)
+            || pm_lengths(off_f, 30, MAX_OF_LEN, dof))
+        return -1;
+    ensure_complete(dll, NUM_LITLEN);
+    ensure_complete(dof, 30);
+    int num_ll = NUM_LITLEN;
+    while (num_ll > 257 && dll[num_ll - 1] == 0) num_ll--;
+    int num_of = 30;
+    while (num_of > 1 && dof[num_of - 1] == 0) num_of--;
+    DynHdr hdr;
+    if (build_dyn_header(dll, dof, num_ll, num_of, &hdr)) return -1;
+    uint16_t ll_codes[NUM_LITLEN], of_codes[NUM_OFFSET];
+    canonical_codes(dll, NUM_LITLEN, ll_codes);
+    canonical_codes(dof, 30, of_codes);
+    for (int i = 0; i < NUM_LITLEN; i++)
+        ll_out[i] = (uint32_t)ll_codes[i] | ((uint32_t)dll[i] << 16);
+    for (int i = 0; i < 30; i++)
+        of_out[i] = (uint32_t)of_codes[i] | ((uint32_t)dof[i] << 16);
+    BitW w;
+    bw_init(&w, hdr_out, hdr_cap);
+    bw_put(&w, (final ? 1 : 0) | 4, 3); /* BTYPE=10 */
+    bw_put(&w, (uint32_t)(num_ll - 257), 5);
+    bw_put(&w, (uint32_t)(num_of - 1), 5);
+    bw_put(&w, (uint32_t)(hdr.num_explicit - 4), 4);
+    for (int k = 0; k < hdr.num_explicit; k++)
+        bw_put(&w, hdr.pre_lens[PRE_PERM[k]], 3);
+    for (int k = 0; k < hdr.np; k++) {
+        int s = hdr.psyms[k];
+        bw_put(&w, hdr.pre_codes[s], hdr.pre_lens[s]);
+        if (hdr.peb[k]) bw_put(&w, hdr.pev[k], hdr.peb[k]);
+        bw_flushbytes(&w);
+    }
+    bw_flushbytes(&w);
+    if (w.n > 0) {
+        if (w.out >= w.end) return -2;
+        *w.out++ = (uint8_t)w.buf;
+    }
+    if (w.overflow) return -2;
+    return 3 + hdr.hdr_bits;
+}

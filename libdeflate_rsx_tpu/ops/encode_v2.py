@@ -270,34 +270,23 @@ def select_tokens(ml: jnp.ndarray, dist: jnp.ndarray,
     return ml_emit, sel, lit
 
 
-def encode_rows_static(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
-                       is_final: jnp.ndarray, block_size: int):
-    """Device encoder for one padded block — fully parallel (sorts, scans,
-    elementwise ops, and one-hot MXU word placement; no loops, no gathers,
-    no scatters).
+def pack_rows(val: jnp.ndarray, nb: jnp.ndarray, start_bits,
+              row_out: int = ROW_OUT):
+    """Bit-pack per-lane tokens (val, nb) into globally-aligned row
+    buffers (fully parallel: one cumsum + one-hot MXU word placement).
 
-    Returns (rows (R, ROW_OUT+1) uint8 globally-bit-aligned row buffers,
-    byte_off (R,), rowbits (R,), total_bits, nbytes).
+    start_bits is the global bit offset of lane 0's first bit (scalar,
+    may be traced — the dynamic tier's variable-length header precedes
+    the body). Returns (rows (R, row_out+1) uint8, byte_off (R,),
+    row_bit0 (R,), end_bits scalar): rows OR-merge into the output at
+    byte_off (consecutive rows share at most one boundary byte).
     """
-    s = block_size
+    s = val.shape[0]
     assert s % ROW == 0
     r = s // ROW
-    pos = jnp.arange(s, dtype=jnp.int32)
-
-    ml, dist = find_matches_v2(data_padded, valid_len, s)
-    ml = extend_runs(ml, dist, valid_len)
-    ml, sel, lit = select_tokens(ml, dist, valid_len)
-
-    lv, ln = literal_code(data_padded[:s])
-    mv, mn = match_token(jnp.maximum(ml, MIN_MATCH),
-                         jnp.clip(dist, 1, WINDOW_SIZE))
-    val = jnp.where(sel, mv, jnp.where(lit, lv, U(0)))
-    nb = jnp.where(sel, mn, jnp.where(lit, ln, U(0))).astype(jnp.int32)
-
-    # global bit positions (3-bit block header first); jnp.cumsum
-    # lowers efficiently here (unlike lax.associative_scan)
     ends = jnp.cumsum(nb)
-    bitpos = 3 + ends - nb
+    # jnp.cumsum lowers efficiently here (unlike lax.associative_scan)
+    bitpos = start_bits + ends - nb
     # row segmentation for packing: row r's base bit = bitpos of lane r*ROW
     bitpos_r = bitpos.reshape(r, ROW)
     row_bit0 = bitpos_r[:, 0]
@@ -315,7 +304,7 @@ def encode_rows_static(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
         [((lo >> U(8 * k)) & U(0xFF)).astype(jnp.bfloat16) for k in range(4)]
         + [((hi >> U(8 * k)) & U(0xFF)).astype(jnp.bfloat16)
            for k in range(4)], axis=1)                        # (R, 8, ROW)
-    nw = ROW_OUT // 4 + 2
+    nw = row_out // 4 + 2
     cols = jnp.arange(nw, dtype=jnp.int32)
     onehot = (local_word[:, :, None] == cols).astype(jnp.bfloat16)
     g = jnp.einsum("rpw,rwc->rpc", parts, onehot,
@@ -332,7 +321,7 @@ def encode_rows_static(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
     # words -> bytes (LSB-first)
     bshift = U(8) * jnp.arange(4, dtype=U)
     buf = ((words[:, :, None] >> bshift) & U(0xFF)).reshape(r, nw * 4)
-    buf = buf[:, : ROW_OUT].astype(jnp.int32)
+    buf = buf[:, : row_out].astype(jnp.int32)
 
     # rows start mid-byte in general: shift each row to global alignment.
     # row_bit0 = 32*word_off + residue; the buffer currently holds bits
@@ -344,15 +333,40 @@ def encode_rows_static(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
     byte_off = row_bit0 >> 3
     delta = byte_off - (word_off << 2)
     bufz = jnp.concatenate([buf, jnp.zeros((r, 4), jnp.int32)], axis=1)
-    rows = jnp.zeros((r, ROW_OUT + 1), jnp.int32)
+    rows = jnp.zeros((r, row_out + 1), jnp.int32)
     for d in range(4):
         rows = jnp.where((delta == d)[:, None],
-                         bufz[:, d: d + ROW_OUT + 1], rows)
+                         bufz[:, d: d + row_out + 1], rows)
     rows = rows.astype(jnp.uint8)
+    return rows, byte_off, row_bit0, start_bits + ends[-1]
 
-    rowbits_all = jnp.concatenate([row_bit0, 3 + ends[-1:]])
+
+def encode_rows_static(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
+                       is_final: jnp.ndarray, block_size: int):
+    """Device encoder for one padded block — fully parallel (sorts, scans,
+    elementwise ops, and one-hot MXU word placement; no loops, no gathers,
+    no scatters).
+
+    Returns (rows (R, ROW_OUT+1) uint8 globally-bit-aligned row buffers,
+    byte_off (R,), rowbits (R,), total_bits, nbytes).
+    """
+    s = block_size
+
+    ml, dist = find_matches_v2(data_padded, valid_len, s)
+    ml = extend_runs(ml, dist, valid_len)
+    ml, sel, lit = select_tokens(ml, dist, valid_len)
+
+    lv, ln = literal_code(data_padded[:s])
+    mv, mn = match_token(jnp.maximum(ml, MIN_MATCH),
+                         jnp.clip(dist, 1, WINDOW_SIZE))
+    val = jnp.where(sel, mv, jnp.where(lit, lv, U(0)))
+    nb = jnp.where(sel, mn, jnp.where(lit, ln, U(0))).astype(jnp.int32)
+
+    # 3-bit block header precedes the body
+    rows, byte_off, row_bit0, end_bits = pack_rows(val, nb, 3, ROW_OUT)
+    rowbits_all = jnp.concatenate([row_bit0, end_bits[None]])
     rowbits = rowbits_all[1:] - rowbits_all[:-1]
-    total_bits = 3 + ends[-1] + 7                  # header + body + EOB(0s)
+    total_bits = end_bits + 7                      # body + EOB(7 zero bits)
     nbytes = jnp.where(
         is_final,
         (total_bits + 7) // 8,

@@ -53,10 +53,10 @@ def literal_code(byte: jnp.ndarray):
     return bitrev(v, nbits), nbits
 
 
-def length_fields(length: jnp.ndarray):
-    """(sym_code, sym_nbits, extra_val, extra_nbits) for match length
-    3..258 under the static code. Closed form of the reference's
-    LENGTH_TO_SYMBOL / LENGTH_SYM_{BASE,EXTRA} tables."""
+def length_sym_fields(length: jnp.ndarray):
+    """(symbol 257..285, extra_val, extra_nbits) for match length 3..258:
+    the code-independent part of the length token. Closed form of the
+    reference's LENGTH_TO_SYMBOL / LENGTH_SYM_{BASE,EXTRA} tables."""
     l = length.astype(jnp.int32)
     n = l - 3
     eb_big = bsr(n) - 2                       # n >= 8
@@ -70,18 +70,24 @@ def length_fields(length: jnp.ndarray):
     idx = jnp.where(is258, 28, idx)
     eb = jnp.where(is258, 0, eb)
     extra = jnp.where(is258, U(0), extra)
-    sym = 257 + idx                           # 257..285
+    return 257 + idx, extra, eb.astype(U)     # 257..285
+
+
+def length_fields(length: jnp.ndarray):
+    """(sym_code, sym_nbits, extra_val, extra_nbits) for match length
+    3..258 under the static code."""
+    sym, extra, eb = length_sym_fields(length)
     # static litlen: syms 256..279 are 7 bits code (sym-256);
     # 280..287 are 8 bits code (0xC0 + sym - 280)
     sym8 = sym >= 280
     nbits = jnp.where(sym8, 8, 7).astype(U)
     v = jnp.where(sym8, 0xC0 + (sym - 280), sym - 256).astype(U)
-    return bitrev(v, nbits), nbits, extra, eb.astype(U)
+    return bitrev(v, nbits), nbits, extra, eb
 
 
-def offset_fields(dist: jnp.ndarray):
-    """(sym_code5, extra_val, extra_nbits) for offset 1..32768 under the
-    static code (5-bit bit-reversed symbol). Closed form of the
+def offset_sym_fields(dist: jnp.ndarray):
+    """(symbol 0..29, extra_val, extra_nbits) for offset 1..32768: the
+    code-independent part of the offset token. Closed form of the
     reference's OFFSET_TO_SYMBOL / OFFSET_SYM_{BASE,EXTRA} tables."""
     o = dist.astype(jnp.int32) - 1
     b = bsr(o)
@@ -91,8 +97,15 @@ def offset_fields(dist: jnp.ndarray):
     base = jnp.where(sym < 4, sym,
                      ((2 + (sym & 1)) << eb) - 2 + 2)  # base offset - 1
     extra = (o - base).astype(U)
+    return sym, extra, eb.astype(U)
+
+
+def offset_fields(dist: jnp.ndarray):
+    """(sym_code5, extra_val, extra_nbits) for offset 1..32768 under the
+    static code (5-bit bit-reversed symbol)."""
+    sym, extra, eb = offset_sym_fields(dist)
     code = bitrev(sym.astype(U), U(5) * jnp.ones_like(sym, U))
-    return code, extra, eb.astype(U)
+    return code, extra, eb
 
 
 def match_token(length: jnp.ndarray, dist: jnp.ndarray):

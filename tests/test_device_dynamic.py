@@ -1,0 +1,98 @@
+"""Device dynamic-Huffman tier tests (CPU backend): wire-format validity
+via the zlib oracle, ratio gain over the static tier, header/table
+construction parity between the native and Python builders, batch wiring."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from libdeflate_rsx_tpu.models.greedy_dynamic import deflate_device_dynamic
+from libdeflate_rsx_tpu.models.greedy_static import deflate_device_static
+from tests.conftest import make_corpus
+
+
+def raw_inflate(b):
+    return zlib.decompress(b, wbits=-15)
+
+
+@pytest.mark.parametrize("kind,size", [
+    ("text", 1000), ("text", 70000), ("pattern", 150000), ("zeros", 100000),
+    ("random", 30000), ("text", 0), ("text", 1), ("periodic:7", 50000),
+    ("text", 65536), ("text", 65537), ("pattern", 120000),
+])
+def test_device_dynamic_roundtrip(kind, size):
+    data = make_corpus(kind, size)
+    comp = deflate_device_dynamic(data)
+    assert raw_inflate(comp) == data
+
+
+def test_dynamic_beats_static_on_text():
+    """The whole point of the tier: per-block code tables shrink
+    entropy-skewed data (reference src/compress/mod.rs:1775-1883)."""
+    data = make_corpus("text", 400000)
+    dyn = deflate_device_dynamic(data)
+    stat = deflate_device_static(data)
+    assert raw_inflate(dyn) == data
+    assert len(dyn) < 0.9 * len(stat)
+
+
+def test_dynamic_incompressible_falls_back_stored():
+    data = make_corpus("random", 80000)
+    comp = deflate_device_dynamic(data)
+    assert raw_inflate(comp) == data
+    # stored fallback: ~5 B per stored sub-block across the 64 KiB
+    # device blocks, never entropy-coded expansion
+    nblocks = -(-len(data) // 65536)
+    assert len(comp) <= len(data) + 5 * (nblocks + len(data) // 65535 + 1)
+
+
+def test_sync_joins_are_byte_aligned_blocks():
+    """Multi-block streams must decode as one stream AND block-by-block
+    (SYNC joins end each non-final block byte-aligned)."""
+    data = make_corpus("text", 3 * 65536 + 17)
+    comp = deflate_device_dynamic(data)
+    assert raw_inflate(comp) == data
+    d = zlib.decompressobj(wbits=-15)
+    out = d.decompress(comp)
+    assert out == data
+
+
+def test_native_and_python_table_builders_agree():
+    from libdeflate_rsx_tpu.native import dyn_tables_native
+    from libdeflate_rsx_tpu.ops.encode_dynamic import _build_tables_py
+
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        llh = rng.integers(0, 500, 288).astype(np.uint32)
+        llh[rng.integers(0, 288, 150)] = 0        # sparse alphabets
+        ofh = rng.integers(0, 200, 30).astype(np.uint32)
+        ofh[rng.integers(0, 30, 20)] = 0
+        final = bool(trial & 1)
+        nat = dyn_tables_native(llh, ofh, final)
+        if nat is None:
+            pytest.skip("no native library")
+        py = _build_tables_py(llh, ofh, final)
+        # code LENGTH vectors must agree (both are optimal package-merge);
+        # serialized headers must be bit-identical
+        assert np.array_equal(nat[0] >> 16, py[0] >> 16), trial
+        assert np.array_equal(nat[1] >> 16, py[1] >> 16), trial
+        assert nat[2] == py[2] and nat[3] == py[3], trial
+
+
+def test_batch_dynamic_level_roundtrip():
+    from libdeflate_rsx_tpu.batch import BatchCompressor
+    datas = [make_corpus("text", 30000, seed=i) for i in range(4)]
+    bc = BatchCompressor(level=6, use_device=True)
+    outs = bc.compress_batch(datas)
+    for d, o in zip(datas, outs):
+        assert raw_inflate(o) == d
+
+
+def test_dynamic_gzip_container_device():
+    from libdeflate_rsx_tpu.batch import BatchCompressor
+    import gzip as gz
+    data = make_corpus("text", 50000)
+    out = BatchCompressor(level=6, format="gzip",
+                          use_device=True).compress_batch([data])[0]
+    assert gz.decompress(out) == data
