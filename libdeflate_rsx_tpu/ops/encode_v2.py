@@ -48,7 +48,10 @@ ROW_OUT = 48              # row-local output buffer (bytes); max 9*32/8+pad
 MAX_VEC_ML = 8            # exact verified match length from carried words
 MIN_MATCH = 4
 BLOCK_PAD = MAX_MATCH_LEN + 8
-_NEG = jnp.int32(-(1 << 20))
+# plain ints (not jnp scalars): creating a device array at import time
+# would initialise the XLA backend, breaking jax.distributed.initialize
+# for multi-host users who import this package first
+_NEG = -(1 << 20)
 
 
 def _words(data_padded: jnp.ndarray, s: int):
@@ -142,7 +145,7 @@ def extend_runs(ml: jnp.ndarray, dist: jnp.ndarray, valid_len: jnp.ndarray):
 GRID = 256  # run-relative emission grid (must divide into MAX_MATCH_LEN-2)
 TILE = 32   # long-match threshold: matches >= TILE chain on the run grid
 WTILE = 64  # short-match walk tile (exact greedy within each cell)
-_INF = jnp.int32(1 << 28)
+_INF = 1 << 28            # plain int — see _NEG note
 _SCAN_CHUNK = 256
 
 
