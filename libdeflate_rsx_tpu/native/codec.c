@@ -312,11 +312,12 @@ static inline int split_check(Split *s) {
 }
 
 /* level -> (strategy greedy=0/lazy=1, depth, nice, lazy2) */
-static const int LEVEL_PARAMS[10][4] = {
-    {0, 0, 0, 0},
-    {0, 2, 16, 0}, {0, 8, 16, 0}, {0, 24, 32, 0}, {0, 48, 64, 0},
-    {1, 48, 48, 0}, {1, 128, 128, 0}, {1, 256, 160, 1},
-    {1, 1024, 258, 1}, {1, 4096, 258, 1},
+static const int LEVEL_PARAMS[10][5] = {
+    {0, 0, 0, 0, 0},
+    {0, 2, 16, 0, 0}, {0, 8, 16, 0, 0}, {0, 24, 32, 0, 0},
+    {0, 48, 64, 0, 0},
+    {1, 48, 48, 0, 8}, {1, 128, 128, 0, 8}, {1, 256, 160, 1, 16},
+    {1, 1024, 258, 1, 32}, {1, 4096, 258, 1, 64},
 };
 
 typedef struct {
@@ -326,6 +327,8 @@ typedef struct {
     int32_t *head3;  /* 1 << hb (hash3 single probe) */
     int32_t *prevl;  /* n */
     int depth, nice, lazy, lazy2;
+    int good;     /* zlib-style: held match >= good => depth >> 2 */
+    int h3;       /* maintain the hash3 single-probe table */
     int hshift;      /* 32 - hb: tables sized to the input so small
                       * calls don't pay a 256 KB clear */
 } MF;
@@ -349,18 +352,21 @@ static inline void mf_insert(MF *m, int64_t i) {
     uint32_t h = hash4(m->buf + i, m->hshift);
     m->prevl[i] = m->head[h];
     m->head[h] = (int32_t)i;
-    m->head3[hash3(m->buf + i, m->hshift)] = (int32_t)i;
+    /* hash3 feeds only the length-3 probe, which speed tiers
+     * (depth < 24) never take — skip its maintenance there */
+    if (m->h3)
+        m->head3[hash3(m->buf + i, m->hshift)] = (int32_t)i;
 }
 
 static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
-                               uint32_t *off_out) {
+                               uint32_t *off_out, int depth) {
     if (i + MIN_MATCH + 1 > m->n || max < 3) return 0;
     int64_t limit = i - WINDOW;
     const uint8_t *base = m->buf;
     uint32_t best = 0, boff = 0;
     if (max >= 4) {
         int32_t j = m->head[hash4(base + i, m->hshift)];
-        int d = m->depth;
+        int d = depth;
         while (j >= 0 && j > limit && d-- > 0) {
             if (base[j + best] == base[i + best]) {
                 uint32_t l = match_len(base + j, base + i, max);
@@ -677,6 +683,7 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
     mf.prevl = work + 2 * HASH_SIZE;
     mf.hshift = 32 - hb;
     mf.depth = level == 10 ? 64 : (level == 11 ? 192 : 512);
+    mf.h3 = 1;
     mf.nice = MAX_MATCH;
     memset(work, -1, sizeof(int32_t) << (hb + 1));
     for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
@@ -822,7 +829,10 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
         mf.prevl = work + 2 * HASH_SIZE;
         mf.hshift = 32 - hb;
         mf.depth = lp[1]; mf.nice = lp[2]; mf.lazy = lp[0]; mf.lazy2 = lp[3];
-        memset(work, -1, sizeof(int32_t) << (hb + 1));
+        mf.good = lp[4];
+        mf.h3 = lp[1] >= 24;
+        /* head3 is never read below depth 24 — don't pay its memset */
+        memset(work, -1, sizeof(int32_t) << (mf.h3 ? hb + 1 : hb));
         for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
 
         static __thread Seq seqs[SOFT_BLOCK / 3 + 16];
@@ -836,6 +846,13 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
             uint32_t litrun = 0;
             int64_t i = bstart;
             uint32_t held_len = 0, held_off = 0;
+            /* literal-run skip-ahead (speed tiers): after a run of
+             * probe misses, probe progressively sparser positions —
+             * near-incompressible stretches stop paying a full hash +
+             * chain walk per byte (the reference's HT-tier batched
+             * skip_positions, reference src/compress/matchfinder.rs:
+             * 1059-1106, re-expressed for hash chains) */
+            int64_t misses = 0, next_probe = 0;
             Split sp;
             split_reset(&sp);
             while (i < bend) {
@@ -850,7 +867,26 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                 /* keep matches inside the block for clean block splits */
                 if ((uint32_t)(bend - i) < maxl) maxl = (uint32_t)(bend - i);
                 uint32_t off = 0;
-                uint32_t len = mf_find(&mf, i, maxl, &off);
+                uint32_t len = 0;
+                if (mf.lazy || i >= next_probe) {
+                    /* zlib's good_match rule: once the held match is
+                     * already good, probe the next position shallowly */
+                    int d = (mf.good && held_len >= (uint32_t)mf.good)
+                        ? (mf.depth >> 2) : mf.depth;
+                    len = mf_find(&mf, i, maxl, &off, d);
+                    if (!mf.lazy) {
+                        if (len >= 3) {
+                            misses = 0;
+                        } else {
+                            misses++;
+                            if (misses >= 64) {
+                                int64_t step = misses >> 6;
+                                if (step > 7) step = 7;
+                                next_probe = i + 1 + step;
+                            }
+                        }
+                    }
+                }
                 mf_insert(&mf, i);
                 if (mf.lazy && held_len >= 3) {
                     /* previous position holds a match; compare */

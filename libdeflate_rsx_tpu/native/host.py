@@ -23,7 +23,7 @@ _ERR_BADDATA = -1
 _ERR_SPACE = -2
 _ERR_SHORT = -3
 
-_HASH_SIZE = 1 << 15
+_HASH_SIZE = 1 << 16
 
 _FLUSH_SYNC = 1
 _FLUSH_FINISH = 2

@@ -31,7 +31,7 @@ extern uint32_t adler32_c(uint32_t adler, const uint8_t *p, int64_t n);
 #define ERR_SPACE (-2)
 #define ERR_SHORT (-3)
 
-#define HASH_SIZE (1 << 15)
+#define HASH_SIZE (1 << 16)
 
 /* grow-only per-thread work buffer (matchfinder heads + prev links) */
 static _Thread_local int32_t *work_buf = NULL;
