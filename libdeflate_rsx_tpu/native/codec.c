@@ -37,6 +37,10 @@
 #define MAX_PRE_LEN 7
 #define SOFT_BLOCK 300000
 #define HASH_BITS 15
+/* link-array ring: the LZ window (32 KiB) is smaller than the ring, so
+ * live positions never collide; stale entries fail the window check */
+#define MF_RING 65536
+#define MF_RM (MF_RING - 1)
 #define HASH_SIZE (1 << HASH_BITS)
 
 #define ERR_BADDATA (-1)
@@ -325,7 +329,7 @@ typedef struct {
     int64_t n;
     int32_t *head;   /* 1 << hb (hash4 chains) */
     int32_t *head3;  /* 1 << hb (hash3 single probe) */
-    int32_t *prevl;  /* n */
+    int32_t *prevl;  /* ring of MF_RING entries (see BT.child note) */
     int depth, nice, lazy, lazy2;
     int good;     /* zlib-style: held match >= good => depth >> 2 */
     int h3;       /* maintain the hash3 single-probe table */
@@ -350,7 +354,7 @@ static inline uint32_t hash3(const uint8_t *p, int shift) {
 static inline void mf_insert(MF *m, int64_t i) {
     if (i + MIN_MATCH + 1 > m->n) return;
     uint32_t h = hash4(m->buf + i, m->hshift);
-    m->prevl[i] = m->head[h];
+    m->prevl[i & MF_RM] = m->head[h];
     m->head[h] = (int32_t)i;
     /* hash3 feeds only the length-3 probe, which speed tiers
      * (depth < 24) never take — skip its maintenance there */
@@ -377,7 +381,7 @@ static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
                     if (l >= (uint32_t)m->nice || l >= max) break;
                 }
             }
-            j = m->prevl[j];
+            j = m->prevl[j & MF_RM];
         }
     }
     if (best >= 4) { *off_out = boff; return best; }
@@ -599,6 +603,102 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
 
 typedef struct { uint16_t len; uint16_t dummy; uint32_t off; } Cand;
 
+/* Binary-tree matchfinder for the DP tiers (levels 10-12): each hash4
+ * bucket holds a binary search tree of positions ordered by suffix;
+ * one walk both finds all Pareto matches and re-roots the tree at the
+ * new position (classic LZMA/libdeflate BT scheme; the reference's BT
+ * tier is src/compress/matchfinder.rs:1308-1776). Two properties make
+ * it strictly better than chain walks on repetitive data: comparisons
+ * resume from min(best_lt, best_gt) instead of byte 0, and a saturated
+ * match (len >= max or nice) terminates the walk by sewing the node's
+ * subtrees into place — O(1) per position inside long runs. */
+typedef struct {
+    const uint8_t *buf;
+    int64_t n;
+    int32_t *head;    /* hash4 -> tree root (most recent position) */
+    int32_t *head3;   /* hash3 single probe */
+    int32_t *child;   /* ring of 2*RING entries: [2(i&RM)] l, [..+1] r.
+                       * Links are absolute positions; the window is
+                       * 32 KiB < RING, so live positions never share a
+                       * slot, and a stale read yields an old position
+                       * that fails the `cur > limit` check. Keeps the
+                       * hot working set at 512 KiB (L2) instead of
+                       * 8 B x input length. */
+    int hshift;
+    int depth, nice;
+    int maxc;     /* Pareto candidates recorded per position */
+} BT;
+
+static int bt_find_insert(BT *t, int64_t i, uint32_t rec_max, Cand *out,
+                          int record) {
+    const uint8_t *base = t->buf;
+    int nc = 0;
+    if (i + MIN_MATCH + 1 > t->n) return 0;
+    /* tree comparisons ALWAYS use the full available length: a walk
+     * clamped by a caller-side cap (block boundary) would sew nodes
+     * that agree on only the capped prefix, corrupting BST order for
+     * later full-length searches. rec_max caps only what is REPORTED. */
+    uint32_t max = (uint32_t)(t->n - i);
+    if (max > MAX_MATCH) max = MAX_MATCH;
+    int64_t limit = i - WINDOW;
+    if (record && rec_max >= 3) {
+        int32_t j3 = t->head3[hash3(base + i, t->hshift)];
+        if (j3 >= 0 && i - j3 <= 4096 && j3 > limit
+                && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
+                && base[j3 + 2] == base[i + 2]) {
+            out[nc].len = 3;
+            out[nc].off = (uint32_t)(i - j3);
+            nc++;
+        }
+    }
+    t->head3[hash3(base + i, t->hshift)] = (int32_t)i;
+    uint32_t h = hash4(base + i, t->hshift);
+    int32_t cur = t->head[h];
+    t->head[h] = (int32_t)i;
+    int32_t *lt = &t->child[2 * (i & MF_RM)],
+            *gt = &t->child[2 * (i & MF_RM) + 1];
+    uint32_t best_lt = 0, best_gt = 0, best = 3;
+    int d = t->depth;
+    for (;;) {
+        if (cur < 0 || cur <= limit || d-- <= 0) {
+            *lt = -1;
+            *gt = -1;
+            break;
+        }
+        uint32_t len = best_lt < best_gt ? best_lt : best_gt;
+        len += match_len(base + cur + len, base + i + len, max - len);
+        if (record && rec_max >= 4 && nc < t->maxc) {
+            uint32_t lr = len < rec_max ? len : rec_max;
+            if (lr >= 4 && lr > best) {
+                out[nc].len = (uint16_t)lr;
+                out[nc].off = (uint32_t)(i - cur);
+                nc++;
+                best = lr;
+            }
+        }
+        if (len >= max || len >= (uint32_t)t->nice) {
+            /* saturated at the full compare length: the node is
+             * interchangeable with i for every future search — adopt
+             * its subtrees and stop */
+            *lt = t->child[2 * (cur & MF_RM)];
+            *gt = t->child[2 * (cur & MF_RM) + 1];
+            break;
+        }
+        if (base[cur + len] < base[i + len]) {
+            *lt = cur;
+            lt = &t->child[2 * (cur & MF_RM) + 1];
+            cur = *lt;
+            best_lt = len;
+        } else {
+            *gt = cur;
+            gt = &t->child[2 * (cur & MF_RM)];
+            cur = *gt;
+            best_gt = len;
+        }
+    }
+    return nc;
+}
+
 static int mf_find_all(MF *m, int64_t i, uint32_t max, Cand *out) {
     if (i + MIN_MATCH + 1 > m->n || max < 3) return 0;
     int64_t limit = i - WINDOW;
@@ -629,18 +729,25 @@ static int mf_find_all(MF *m, int64_t i, uint32_t max, Cand *out) {
                 if (l >= max) break;
             }
         }
-        j = m->prevl[j];
+        j = m->prevl[j & MF_RM];
     }
     return nc;
 }
 
-static void optimal_parse(MF *m, const uint8_t *buf, int64_t bstart,
+static void optimal_parse(const uint8_t *buf, int64_t bstart,
                           int64_t bend, int64_t n_total,
                           const uint8_t *ll_cost, const uint8_t *of_cost,
                           Cand *cands, uint8_t *ncand,
                           uint16_t *choice_len, uint32_t *choice_off,
                           uint32_t *cost) {
     int64_t n = bend - bstart;
+    /* fused per-length bit cost (symbol code + extra bits), rebuilt per
+     * pass: turns the hot inner relaxation into 3 loads + add + cmp */
+    uint16_t lenc[MAX_MATCH + 1];
+    for (uint32_t l = MIN_MATCH - 1; l <= MAX_MATCH; l++) {
+        int ls = LEN2SYM[l];
+        lenc[l] = (uint16_t)(ll_cost[257 + ls] + LEN_EXTRA[ls]);
+    }
     cost[n] = 0;
     for (int64_t i = n - 1; i >= 0; i--) {
         int64_t p = bstart + i;
@@ -653,10 +760,13 @@ static void optimal_parse(MF *m, const uint8_t *buf, int64_t bstart,
             uint32_t off = c[k].off;
             int os = off2sym(off);
             uint32_t oc = of_cost[os] + OFF_EXTRA[os];
-            for (uint32_t l = prev_len + 1; l <= c[k].len; l++) {
-                int ls = LEN2SYM[l];
-                uint32_t cc = ll_cost[257 + ls] + LEN_EXTRA[ls] + oc
-                    + cost[i + l];
+            const uint32_t *cp = cost + i;
+            /* clamp: a sampled-prefix parse (and an early split cut)
+             * may end before a candidate's full reach */
+            uint32_t lmax = c[k].len;
+            if (lmax > (uint32_t)(n - i)) lmax = (uint32_t)(n - i);
+            for (uint32_t l = prev_len + 1; l <= lmax; l++) {
+                uint32_t cc = lenc[l] + oc + cp[l];
                 if (cc < best) { best = cc; bl = (uint16_t)l; bo = off; }
             }
             prev_len = c[k].len;
@@ -675,18 +785,16 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
     BitW w;
     bw_init(&w, out, out_cap);
     int64_t n = total_len;
-    MF mf;
+    BT bt;
     int hb = hash_bits_for(n);
-    mf.buf = buf; mf.n = n;
-    mf.head = work;
-    mf.head3 = work + (1 << hb);
-    mf.prevl = work + 2 * HASH_SIZE;
-    mf.hshift = 32 - hb;
-    mf.depth = level == 10 ? 64 : (level == 11 ? 192 : 512);
-    mf.h3 = 1;
-    mf.nice = MAX_MATCH;
+    bt.buf = buf; bt.n = n;
+    bt.head = work;
+    bt.head3 = work + (1 << hb);
+    bt.hshift = 32 - hb;
+    bt.depth = level == 10 ? 12 : (level == 11 ? 48 : 96);
+    bt.maxc = level == 10 ? 6 : MAXC;
+    bt.nice = MAX_MATCH;
     memset(work, -1, sizeof(int32_t) << (hb + 1));
-    for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
 
     int64_t maxb = SOFT_BLOCK;
     Cand *cands = malloc(sizeof(Cand) * (size_t)maxb * MAXC);
@@ -696,35 +804,76 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
     uint32_t *cost = malloc(sizeof(uint32_t) * ((size_t)maxb + 1));
     Seq *seqs = malloc(sizeof(Seq) * ((size_t)maxb / 3 + 16));
     uint8_t *lits = malloc((size_t)maxb + 16);
+    bt.child = malloc(sizeof(int32_t) * 2 * MF_RING);
     if (!cands || !ncand || !choice_len || !choice_off || !cost
-            || !seqs || !lits) {
+            || !seqs || !lits || !bt.child) {
         free(cands); free(ncand); free(choice_len); free(choice_off);
-        free(cost); free(seqs); free(lits);
+        free(cost); free(seqs); free(lits); free(bt.child);
         return ERR_BADDATA;
     }
+    for (int64_t i = 0; i < hist_len; i++)
+        bt_find_insert(&bt, i, 0, NULL, 0);
 
     int64_t bstart = hist_len;
     while (bstart < n) {
         int64_t bend = bstart + maxb < n ? bstart + maxb : n;
-        int64_t bn = bend - bstart;
-        /* collect Pareto matches per position */
+        /* collect Pareto matches per position; the adaptive splitter
+         * watches the greedy-choice distribution and may cut the block
+         * early (the reference runs its splitter in the DP tier's
+         * pass-1 scan, reference src/compress/mod.rs:1594-1627) */
+        Split sp;
+        split_reset(&sp);
         for (int64_t i = bstart; i < bend; i++) {
+            if (sp.rec_total >= SPLIT_CHECK_EVERY
+                    && split_check(&sp) && i - bstart >= SPLIT_MIN_BLOCK) {
+                bend = i;
+                break;
+            }
             uint32_t maxl = (uint32_t)(n - i);
             if (maxl > MAX_MATCH) maxl = MAX_MATCH;
             if ((uint32_t)(bend - i) < maxl) maxl = (uint32_t)(bend - i);
-            int nc = mf_find_all(&mf, i, maxl, cands + (i - bstart) * MAXC);
+            int nc = bt_find_insert(&bt, i, maxl,
+                                    cands + (i - bstart) * MAXC, 1);
             ncand[i - bstart] = (uint8_t)nc;
-            mf_insert(&mf, i);
-            if (nc && cands[(i - bstart) * MAXC + nc - 1].len >= 128) {
-                /* long match: skip interior (it will be taken whole) */
+            if (nc) {
+                const Cand *c = cands + (i - bstart) * MAXC;
+                split_obs_match(&sp, c[nc - 1].len, c[nc - 1].off);
+            } else {
+                split_obs_lit(&sp, buf[i]);
+            }
+            if (nc && cands[(i - bstart) * MAXC + nc - 1].len
+                    >= (level == 10 ? 64 : 128)) {
+                /* long match: skip interior (it will be taken whole);
+                 * the speed tier also inserts interiors with a shallow
+                 * walk — they are rarely better match sources than the
+                 * match's own start */
                 uint32_t l = cands[(i - bstart) * MAXC + nc - 1].len;
                 int64_t stop = i + l < bend ? i + l : bend;
+                int save_d = bt.depth;
+                if (level == 10) bt.depth = 8;
                 for (int64_t q = i + 1; q < stop; q++) {
-                    mf_insert(&mf, q);
+                    bt_find_insert(&bt, q, 0, NULL, 0);
                     ncand[q - bstart] = 0;
                 }
+                bt.depth = save_d;
                 i = stop - 1;
             }
+        }
+        int64_t bn = bend - bstart;
+        /* an early cut can strand candidates reaching past it: clamp */
+        for (int64_t q = 0; q < bn; q++) {
+            uint32_t cap = (uint32_t)(bn - q);
+            Cand *c = cands + (size_t)q * MAXC;
+            int nc = ncand[q], k2 = 0;
+            for (int k = 0; k < nc; k++) {
+                uint16_t l = c[k].len > cap ? (uint16_t)cap : c[k].len;
+                if (l >= 3 && (k2 == 0 || l > c[k2 - 1].len)) {
+                    c[k2].len = l;
+                    c[k2].off = c[k].off;
+                    k2++;
+                }
+            }
+            ncand[q] = (uint8_t)k2;
         }
         /* pass 1: static-code costs; pass 2: refreshed Huffman costs */
         uint8_t llc[NUM_LITLEN], ofc[NUM_OFFSET];
@@ -733,14 +882,23 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
         int64_t nlit = 0;
         int npass = level >= 11 ? 3 : 2;
         for (int pass = 0; pass < npass; pass++) {
-            optimal_parse(&mf, buf, bstart, bend, n, llc, ofc, cands,
+            /* level 10 (the DP family's speed tier): the cost-seeding
+             * pass parses only a 64 KiB prefix sample — symbol
+             * statistics stabilise long before that, and the full
+             * block is DP'd once with the refined costs */
+            int64_t pend = bend;
+            if (level == 10 && pass < npass - 1
+                    && bstart + 65536 < bend)
+                pend = bstart + 65536;
+            int64_t pn = pend - bstart;
+            optimal_parse(buf, bstart, pend, n, llc, ofc, cands,
                           ncand, choice_len, choice_off, cost);
             /* walk the chosen path into sequences */
             nseq = 0; nlit = 0;
             uint32_t litrun = 0;
             uint64_t llf[NUM_LITLEN] = {0}, off_f[NUM_OFFSET] = {0};
             int64_t i = 0;
-            while (i < bn) {
+            while (i < pn) {
                 if (choice_off[i] == 0) {
                     lits[nlit++] = buf[bstart + i];
                     llf[buf[bstart + i]]++;
@@ -781,7 +939,7 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
         bstart = bend;
     }
     free(cands); free(ncand); free(choice_len); free(choice_off);
-    free(cost); free(seqs); free(lits);
+    free(cost); free(seqs); free(lits); free(bt.child);
     if (w.error) return w.error;
     if (w.overflow) return ERR_SPACE;
 
