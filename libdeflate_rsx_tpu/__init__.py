@@ -29,13 +29,36 @@ from .utils import errors
 __version__ = "0.1.0"
 
 
-def crc32(data: bytes, crc: int = 0) -> int:
+# one-time direct binding of the C-extension checksum entry points: the
+# layered dispatch (engine -> host wrapper -> get_ext) costs ~900 ns per
+# call, which dominates small-buffer checksums (the reference's analog
+# is its OnceLock-cached function pointers, reference src/crc32/mod.rs:
+# 332-365)
+def _bind_checksums():
+    try:
+        from .native import get_ext
+        ext = get_ext()
+        if ext is not None:
+            return ext.crc32, ext.adler32
+    except Exception:
+        pass
+    return None, None
+
+
+_ext_crc32, _ext_adler32 = _bind_checksums()
+
+
+def crc32(data, crc: int = 0) -> int:
     """CRC-32 (gzip polynomial) of `data`, continuing from `crc`."""
+    if _ext_crc32 is not None and type(data) is bytes:
+        return _ext_crc32(data, crc)
     return crc32_host(bytes(data), crc)
 
 
-def adler32(data: bytes, adler: int = 1) -> int:
+def adler32(data, adler: int = 1) -> int:
     """Adler-32 (zlib) of `data`, continuing from `adler`."""
+    if _ext_adler32 is not None and type(data) is bytes:
+        return _ext_adler32(data, adler)
     return adler32_host(bytes(data), adler)
 
 

@@ -147,63 +147,83 @@ typedef struct { uint64_t w; int32_t left, right, sym; } PmNode;
 
 /* lens[] out; returns 0 ok */
 static int pm_lengths(const uint64_t *freq, int n, int limit, uint8_t *lens) {
-    static __thread PmNode pool[40000];
-    static __thread int32_t lists[2][1200];
-    int npool = 0;
+    /* Flat-array package-merge: per level l, list[l] = merge(leaves,
+     * pairwise packages of list[l-1]), entries packed (weight<<1 |
+     * is_package) so one u64 compare both orders and breaks ties
+     * leaves-first. Code lengths come from a downward prefix count:
+     * taking the first `take` items of a level takes some prefix of
+     * the (sorted) leaves plus p packages, each expanding to two items
+     * one level down — lens[order[i]] = #levels whose leaf-prefix
+     * exceeds i. O(u*L), no node pool, no tree walk. */
     int order[NUM_LITLEN];
     int used = 0;
     memset(lens, 0, (size_t)n);
     for (int i = 0; i < n; i++) if (freq[i]) order[used++] = i;
     if (used == 0) return 0;
     if (used == 1) { lens[order[0]] = 1; return 0; }
-    /* sort used symbols by freq (stable insertion; n small) */
-    for (int i = 1; i < used; i++) {
-        int v = order[i]; int j = i - 1;
-        while (j >= 0 && freq[order[j]] > freq[v]) { order[j+1] = order[j]; j--; }
-        order[j + 1] = v;
+    if (limit > 15 || used > (1 << limit)) return -1;
+    /* sort used symbols by freq: packed-key bottom-up merge sort */
+    static __thread uint64_t keys[NUM_LITLEN], tmp[NUM_LITLEN];
+    for (int i = 0; i < used; i++)
+        keys[i] = (freq[order[i]] << 16) | (uint64_t)order[i];
+    for (int width = 1; width < used; width <<= 1) {
+        for (int lo = 0; lo < used; lo += 2 * width) {
+            int mid = lo + width < used ? lo + width : used;
+            int hi = lo + 2 * width < used ? lo + 2 * width : used;
+            int a = lo, b = mid, k = lo;
+            while (a < mid && b < hi)
+                tmp[k++] = keys[a] <= keys[b] ? keys[a++] : keys[b++];
+            while (a < mid) tmp[k++] = keys[a++];
+            while (b < hi) tmp[k++] = keys[b++];
+        }
+        memcpy(keys, tmp, sizeof(uint64_t) * (size_t)used);
     }
-    /* leaves */
-    int32_t leaves[NUM_LITLEN];
+    static __thread uint64_t wleaf[NUM_LITLEN];
     for (int i = 0; i < used; i++) {
-        pool[npool] = (PmNode){freq[order[i]], -1, -1, order[i]};
-        leaves[i] = npool++;
+        order[i] = (int)(keys[i] & 0xFFFF);
+        wleaf[i] = (keys[i] >> 16) << 1;           /* packed, flag 0 */
     }
-    int cur = 0, ncur = used;
-    for (int i = 0; i < used; i++) lists[cur][i] = leaves[i];
-    for (int level = 1; level < limit; level++) {
-        /* package pairs of current list, then merge with leaves */
-        int npack = ncur / 2;
-        int32_t packs[600];
-        for (int i = 0; i < npack; i++) {
-            int32_t a = lists[cur][2 * i], b = lists[cur][2 * i + 1];
-            pool[npool] = (PmNode){pool[a].w + pool[b].w, a, b, -1};
-            packs[i] = npool++;
+    static __thread uint64_t lv[16][2 * NUM_LITLEN];
+    int lvn[16];
+    memcpy(lv[1], wleaf, sizeof(uint64_t) * (size_t)used);
+    lvn[1] = used;
+    for (int l = 2; l <= limit; l++) {
+        int npack = lvn[l - 1] / 2;
+        const uint64_t *prev = lv[l - 1];
+        uint64_t *dst = lv[l];
+        int a = 0, b = 0, k = 0;
+        while (a < used && b < npack) {
+            uint64_t pw = ((prev[2 * b] >> 1) + (prev[2 * b + 1] >> 1))
+                << 1 | 1;
+            if (wleaf[a] <= pw)
+                dst[k++] = wleaf[a++];
+            else { dst[k++] = pw; b++; }
         }
-        int nxt = cur ^ 1, i = 0, j = 0, k = 0;
-        while (i < used && j < npack) {
-            if (pool[leaves[i]].w <= pool[packs[j]].w)
-                lists[nxt][k++] = leaves[i++];
-            else
-                lists[nxt][k++] = packs[j++];
+        while (a < used) dst[k++] = wleaf[a++];
+        while (b < npack) {
+            dst[k++] = (((prev[2 * b] >> 1) + (prev[2 * b + 1] >> 1))
+                        << 1) | 1;
+            b++;
         }
-        while (i < used) lists[nxt][k++] = leaves[i++];
-        while (j < npack) lists[nxt][k++] = packs[j++];
-        cur = nxt; ncur = k;
-        if (npool > 38000) return -1; /* can't happen for n<=288,L<=15 */
+        lvn[l] = k;
     }
-    /* take first 2(used-1) items; count leaf occurrences iteratively */
+    /* downward prefix count */
+    int nl_count[NUM_LITLEN + 1];
+    memset(nl_count, 0, sizeof(int) * (size_t)(used + 1));
     int take = 2 * (used - 1);
-    if (take > ncur) take = ncur;
-    int32_t stack[64 * 32]; int sp = 0;
-    for (int i = 0; i < take; i++) stack[sp++] = lists[cur][i];
-    while (sp > 0) {
-        int32_t nd = stack[--sp];
-        if (pool[nd].sym >= 0) { lens[pool[nd].sym]++; }
-        else { stack[sp++] = pool[nd].left; stack[sp++] = pool[nd].right; }
-        if (sp > 2040) { /* flush deep stacks defensively */
-            /* tree depth bounded by limit; cannot happen */
-            return -1;
-        }
+    for (int l = limit; l >= 1 && take > 0; l--) {
+        if (take > lvn[l]) take = lvn[l];
+        int p = 0;
+        const uint64_t *cur = lv[l];
+        for (int i = 0; i < take; i++) p += (int)(cur[i] & 1);
+        int nleaf = take - p;
+        nl_count[nleaf]++;
+        take = 2 * p;
+    }
+    int run = 0;
+    for (int i = used - 1; i >= 0; i--) {
+        run += nl_count[i + 1];
+        lens[order[i]] = (uint8_t)run;
     }
     return 0;
 }
