@@ -1,5 +1,11 @@
 """One-shot compress/decompress round trip (reference examples/basics.rs)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import libdeflate_rsx_tpu as ld
 
 data = b"hello hello hello compression world " * 100

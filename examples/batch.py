@@ -2,6 +2,12 @@
 point (reference examples/batch.rs). On a multi-chip mesh, use
 libdeflate_rsx_tpu.parallel.ShardedCompressor to spread blocks over chips."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import libdeflate_rsx_tpu as ld
 
 inputs = [f"document number {i} ".encode() * (100 + 37 * i)

@@ -1,6 +1,12 @@
 """CRC-32 / Adler-32, incremental (running) use, and the associative
 combine operators for sharded computation (reference examples/checksums.rs)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import zlib
 
 import libdeflate_rsx_tpu as ld

@@ -1,6 +1,12 @@
 """Container formats: gzip and zlib framing, interop with stdlib
 (reference examples/gzip_zlib.rs)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import gzip
 import zlib
 

@@ -2,6 +2,12 @@
 For the full harness see benches/bench_main.py; for the headline device
 number see bench.py at the repo root."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import time
 import zlib
 

@@ -5,6 +5,12 @@ Run with real chips, or simulate a pod slice on CPU:
       python examples/sharded.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import gzip
 
 import jax

@@ -1,6 +1,12 @@
 """Streaming encode/decode over file-like objects
 (reference examples/streaming.rs)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import io
 
 import libdeflate_rsx_tpu as ld
