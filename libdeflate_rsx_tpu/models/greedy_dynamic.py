@@ -82,6 +82,20 @@ def assemble_dynamic(device_out, headers, hdr_bits: np.ndarray,
     return parts
 
 
+def apply_stored_fallback(parts: list[bytes], data: bytes,
+                          block_size: int, valid: np.ndarray,
+                          finals: np.ndarray, num: int) -> list[bytes]:
+    """Per-block stored fallback when the dynamic stream expands
+    (reference src/compress/mod.rs:1400-1464's whenever-cheaper rule)."""
+    for i in range(num):
+        v = int(valid[i])
+        stored_cost = v + 5 * max(1, -(-v // MAX_STORED))
+        if len(parts[i]) > stored_cost:
+            raw = data[i * block_size: i * block_size + v]
+            parts[i] = _stored_block(raw, bool(finals[i]))
+    return parts
+
+
 def deflate_device_dynamic(data: bytes,
                            block_size: int = DEFAULT_BLOCK) -> bytes:
     """Whole-buffer raw-DEFLATE encode, dynamic-Huffman device tier."""
@@ -99,10 +113,5 @@ def deflate_device_dynamic(data: bytes,
     out_cap = 2 * block_size + 1024
     parts = assemble_dynamic(device_out, headers, hdr_bits, ll_tabs,
                              finals, num, out_cap)
-    for i in range(num):
-        v = int(valid[i])
-        stored_cost = v + 5 * max(1, -(-v // MAX_STORED))
-        if len(parts[i]) > stored_cost:
-            raw = data[i * block_size: i * block_size + v]
-            parts[i] = _stored_block(raw, bool(finals[i]))
-    return b"".join(parts)
+    return b"".join(apply_stored_fallback(parts, data, block_size, valid,
+                                          finals, num))

@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.greedy_static import assemble_with_fallback, split_blocks
 from ..ops.checksum_math import adler32_combine, crc32_combine
 from ..ops.checksums import adler32_blocks, crc32_blocks
+from ..ops.encode_dynamic import analyze_block, build_tables_host, emit_pack
 from ..ops.encode_v2 import BLOCK_PAD, encode_rows_static
 
 AXIS = "streams"
@@ -68,6 +69,33 @@ def _step(blocks, valids, finals, *, block_size: int, checksums: bool):
     crcs = crc32_blocks(body, valids)
     adlers = adler32_blocks(body, valids)
     return out + (crcs, adlers)
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_sharded_analyze(mesh: Mesh, block_size: int):
+    """Dynamic tier, phase A: match pipeline + per-block histograms,
+    data-parallel over the mesh (ops/encode_dynamic.analyze_block)."""
+    fn = jax.vmap(functools.partial(analyze_block, block_size=block_size))
+    mapped = jax.shard_map(
+        lambda b, v: fn(b, v),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=tuple([P(AXIS)] * 6),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_sharded_emit(mesh: Mesh, block_size: int):
+    """Dynamic tier, phase B: table-coded emission + MXU packing."""
+    fn = jax.vmap(functools.partial(emit_pack, block_size=block_size))
+    mapped = jax.shard_map(
+        lambda *a: fn(*a),
+        mesh=mesh,
+        in_specs=tuple([P(AXIS)] * 8),
+        out_specs=tuple([P(AXIS)] * 4),
+    )
+    return jax.jit(mapped)
 
 
 @functools.lru_cache(maxsize=8)
@@ -111,9 +139,12 @@ class ShardedCompressor:
     """
 
     def __init__(self, mesh: Mesh | None = None,
-                 block_size: int = 65536) -> None:
+                 block_size: int = 65536, tier: str = "static") -> None:
+        if tier not in ("static", "dynamic"):
+            raise ValueError(f"unknown tier {tier!r}")
         self.mesh = mesh if mesh is not None else stream_mesh()
         self.block_size = block_size
+        self.tier = tier
         self.n_devices = self.mesh.devices.size
 
     def _run(self, blocks, valids, finals, checksums: bool):
@@ -122,6 +153,30 @@ class ShardedCompressor:
         args = [jax.device_put(jnp.asarray(a), sharding)
                 for a in (blocks, valids, finals)]
         return step(*args)
+
+    def _run_dynamic(self, blocks, valids, finals):
+        """Dynamic tier: sharded analyze -> host code tables (only the
+        few-KB histograms cross the link) -> sharded emit. Returns
+        per-block parts (list[bytes])."""
+        from ..models.greedy_dynamic import assemble_dynamic
+
+        num = len(blocks)
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        b_j = jax.device_put(jnp.asarray(blocks), sharding)
+        v_j = jax.device_put(jnp.asarray(valids), sharding)
+        ml, dist, sel, lit, llh, ofh = _jit_sharded_analyze(
+            self.mesh, self.block_size)(b_j, v_j)
+        ll_tabs, of_tabs, headers, hdr_bits = build_tables_host(
+            np.asarray(llh), np.asarray(ofh), finals)
+        device_out = _jit_sharded_emit(self.mesh, self.block_size)(
+            b_j, ml, dist, sel, lit,
+            jax.device_put(jnp.asarray(ll_tabs), sharding),
+            jax.device_put(jnp.asarray(of_tabs), sharding),
+            jax.device_put(jnp.asarray(hdr_bits.astype(np.int32)),
+                           sharding))
+        out_cap = 2 * self.block_size + 1024
+        return assemble_dynamic(device_out, headers, hdr_bits, ll_tabs,
+                                finals, num, out_cap)
 
     def _assemble(self, data: bytes, out, valids, finals, num) -> bytes:
         parts = assemble_with_fallback(
@@ -132,6 +187,21 @@ class ShardedCompressor:
         """Compress one buffer, blocks sharded across every chip."""
         blocks, valids, finals, num = shard_blocks(
             data, self.block_size, self.n_devices)
+        if self.tier == "dynamic":
+            from ..models.greedy_dynamic import apply_stored_fallback
+            parts = self._run_dynamic(blocks, valids, finals)[:num]
+            payload = b"".join(apply_stored_fallback(
+                parts, data, self.block_size, valids, finals, num))
+            if format == "deflate":
+                return payload
+            from .. import containers
+            from ..engine import adler32 as adler32_h
+            from ..engine import crc32 as crc32_h
+            if format == "zlib":
+                return (containers.zlib_header(6) + payload
+                        + containers.zlib_footer(adler32_h(data)))
+            return (containers.gzip_header(6) + payload
+                    + containers.gzip_footer(crc32_h(data), len(data)))
         want_sums = format in ("zlib", "gzip")
         out = self._run(blocks, valids, finals, want_sums)
         payload = self._assemble(data, out, valids, finals, num)
@@ -179,6 +249,17 @@ class ShardedCompressor:
                 [blocks, np.zeros((pad, blocks.shape[1]), np.uint8)])
             valids = np.concatenate([valids, np.zeros(pad, np.int32)])
             finals = np.concatenate([finals, np.ones(pad, bool)])
+        if self.tier == "dynamic":
+            from ..models.greedy_dynamic import apply_stored_fallback
+            parts = self._run_dynamic(blocks, valids, finals)
+            results = []
+            for start, num, data in metas:
+                sub = apply_stored_fallback(
+                    parts[start:start + num], data, self.block_size,
+                    valids[start:start + num],
+                    finals[start:start + num], num)
+                results.append(b"".join(sub))
+            return results
         out = self._run(blocks, valids, finals, False)
         results = []
         for start, num, data in metas:

@@ -81,3 +81,40 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_sharded_dynamic_tier_roundtrip():
+    """Dynamic-Huffman tier over the mesh: sharded analyze -> host
+    tables -> sharded emit (only histograms cross the link)."""
+    import zlib
+
+    from libdeflate_rsx_tpu.parallel.shard import (
+        ShardedCompressor,
+        stream_mesh,
+    )
+    from tests.conftest import make_corpus
+
+    sc = ShardedCompressor(stream_mesh(), block_size=16384, tier="dynamic")
+    data = make_corpus("text", 200000)
+    comp = sc.compress(data)
+    assert zlib.decompress(comp, -15) == data
+    # beats the static tier on entropy-skewed data
+    stat = ShardedCompressor(stream_mesh(), block_size=16384,
+                             tier="static").compress(data)
+    assert len(comp) < len(stat)
+
+
+def test_sharded_dynamic_batch_fault_free():
+    import zlib
+
+    from libdeflate_rsx_tpu.parallel.shard import (
+        ShardedCompressor,
+        stream_mesh,
+    )
+    from tests.conftest import make_corpus
+
+    sc = ShardedCompressor(stream_mesh(), block_size=16384, tier="dynamic")
+    items = [make_corpus("text", 30000, seed=i) for i in range(5)] + [b""]
+    outs = sc.compress_batch(items)
+    for d, o in zip(items, outs):
+        assert zlib.decompress(o, -15) == d
