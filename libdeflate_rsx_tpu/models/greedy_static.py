@@ -112,7 +112,10 @@ def deflate_device_static(data: bytes,
     # blocks whose outputs are dropped at assembly
     from ..ops.encode_v2 import jit_encoder_scan
 
-    unroll = 8
+    # unroll=4 measured fastest (0.4-0.5 GB/s vs 0.38 at 8): enough
+    # independent subgraphs to hide each chunk's sort/scan dependency
+    # chain without starving the scheduler
+    unroll = 4
     per_launch = unroll * launch_rows
     k = -(-num // per_launch)
     rows = k * per_launch

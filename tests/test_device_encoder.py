@@ -101,3 +101,17 @@ def test_blocks_checksums_traced_lengths():
         raw = data[i, :ln].tobytes()
         assert int(crcs[i]) == zlib.crc32(raw), (i, ln)
         assert int(adlers[i]) == zlib.adler32(raw), (i, ln)
+
+
+def test_unrolled_launch_path_roundtrip():
+    """The chunked launch pipeline (jit_encoder_scan, used for large
+    buffers and by bench.py) must produce the same valid streams as the
+    single-launch path."""
+    import zlib
+
+    from libdeflate_rsx_tpu.models.greedy_static import (
+        deflate_device_static)
+
+    data = make_corpus("pattern", 40 * 16384 + 123)
+    comp = deflate_device_static(data, block_size=16384, launch_rows=4)
+    assert zlib.decompress(comp, wbits=-15) == data
