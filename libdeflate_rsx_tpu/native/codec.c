@@ -405,11 +405,11 @@ static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
         }
     }
     if (best >= 4) { *off_out = boff; return best; }
-    if (m->depth < 24) return 0;   /* speed tiers skip 3-byte matches */
+    if (!m->h3) return 0;          /* speed tiers skip 3-byte matches */
     /* fall back to a close length-3 match (single-probe hash3): worth
      * at most when nearby — a far 3-match costs more than 3 literals */
     int32_t j3 = m->head3[hash3(base + i, m->hshift)];
-    if (j3 >= 0 && i - j3 <= 1024 && j3 > limit
+    if (j3 >= 0 && j3 < i && i - j3 <= 1024 && j3 > limit
             && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
             && base[j3 + 2] == base[i + 2]) {
         *off_out = (uint32_t)(i - j3);
@@ -1008,7 +1008,9 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
         mf.hshift = 32 - hb;
         mf.depth = lp[1]; mf.nice = lp[2]; mf.lazy = lp[0]; mf.lazy2 = lp[3];
         mf.good = lp[4];
-        mf.h3 = lp[1] >= 24;
+        mf.h3 = 0;   /* 3-byte matches only pay off under the DP tiers'
+                      * cost model; greedily taken they disrupt longer
+                      * matches (measured: ratio AND speed improve) */
         /* head3 is never read below depth 24 — don't pay its memset */
         memset(work, -1, sizeof(int32_t) << (mf.h3 ? hb + 1 : hb));
         for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
