@@ -647,6 +647,7 @@ typedef struct {
     int hshift;
     int depth, nice;
     int maxc;     /* Pareto candidates recorded per position */
+    int h3;       /* maintain + probe the hash3 table (DP tiers only) */
 } BT;
 
 static int bt_find_insert(BT *t, int64_t i, uint32_t rec_max, Cand *out,
@@ -661,17 +662,19 @@ static int bt_find_insert(BT *t, int64_t i, uint32_t rec_max, Cand *out,
     uint32_t max = (uint32_t)(t->n - i);
     if (max > MAX_MATCH) max = MAX_MATCH;
     int64_t limit = i - WINDOW;
-    if (record && rec_max >= 3) {
-        int32_t j3 = t->head3[hash3(base + i, t->hshift)];
-        if (j3 >= 0 && i - j3 <= 4096 && j3 > limit
-                && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
-                && base[j3 + 2] == base[i + 2]) {
-            out[nc].len = 3;
-            out[nc].off = (uint32_t)(i - j3);
-            nc++;
+    if (t->h3) {
+        if (record && rec_max >= 3) {
+            int32_t j3 = t->head3[hash3(base + i, t->hshift)];
+            if (j3 >= 0 && j3 < i && i - j3 <= 4096 && j3 > limit
+                    && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
+                    && base[j3 + 2] == base[i + 2]) {
+                out[nc].len = 3;
+                out[nc].off = (uint32_t)(i - j3);
+                nc++;
+            }
         }
+        t->head3[hash3(base + i, t->hshift)] = (int32_t)i;
     }
-    t->head3[hash3(base + i, t->hshift)] = (int32_t)i;
     uint32_t h = hash4(base + i, t->hshift);
     int32_t cur = t->head[h];
     t->head[h] = (int32_t)i;
@@ -813,6 +816,7 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
     bt.hshift = 32 - hb;
     bt.depth = level == 10 ? 12 : (level == 11 ? 48 : 96);
     bt.maxc = level == 10 ? 6 : MAXC;
+    bt.h3 = 1;
     bt.nice = MAX_MATCH;
     memset(work, -1, sizeof(int32_t) << (hb + 1));
 
@@ -1011,8 +1015,11 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
         mf.h3 = 0;   /* 3-byte matches only pay off under the DP tiers'
                       * cost model; greedily taken they disrupt longer
                       * matches (measured: ratio AND speed improve) */
-        /* head3 is never read below depth 24 — don't pay its memset */
-        memset(work, -1, sizeof(int32_t) << (mf.h3 ? hb + 1 : hb));
+        memset(work, -1, sizeof(int32_t) << hb);
+        /* (measured: a BT matchfinder here LOSES to chains — the lazy
+         * loop probes every position and pays full tree descents for
+         * match-body inserts; chains insert in 3 ops. BT stays the DP
+         * tiers' finder, where per-position find_all amortizes it.) */
         for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
 
         static __thread Seq seqs[SOFT_BLOCK / 3 + 16];
