@@ -120,3 +120,19 @@ def test_garbage_never_crashes(seed):
         except DeflateError:
             pass
         comp[i] ^= 0  # keep mutating cumulatively
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_device_dynamic_tier(seed):
+    """Structured-random buffers through the device dynamic-Huffman tier
+    (per-block tables, split match tokens, host header build) must
+    decode byte-exactly via the zlib oracle AND our host decoder."""
+    from libdeflate_rsx_tpu.models.greedy_dynamic import (
+        deflate_device_dynamic)
+
+    r = random.Random(seed * 31 + 7)
+    size = r.choice([1, 37, 4096, 65535, 65536, 65537, 150000])
+    data = structured_random(seed, size)
+    comp = deflate_device_dynamic(data)
+    assert zlib.decompress(comp, -15) == data
+    assert decompress_raw(comp, size + 16)[0] == data

@@ -189,3 +189,25 @@ def test_checksum_verification():
     zz[-1] ^= 0xFF  # corrupt Adler
     with pytest.raises(BadDataError):
         Decompressor().decompress_zlib(bytes(zz), 10000)
+
+
+def test_exact_fit_output_buffers():
+    """_into variants with output buffers sized EXACTLY to the result
+    must succeed; one byte smaller must raise (the reference's bitstream
+    boundary tests, reference tests/bitstream_boundary.rs, re-expressed
+    at the API layer)."""
+    data = make_corpus("text", 5000)
+    c = Compressor(6)
+    need = len(c.compress_deflate(data))
+    out = bytearray(need)
+    assert c.compress_deflate_into(data, out) == need
+    assert Decompressor().decompress_deflate(bytes(out), len(data)) == data
+    with pytest.raises(InsufficientSpaceError):
+        c.compress_deflate_into(data, bytearray(need - 1))
+    # decode into an exact-fit buffer
+    exact = bytearray(len(data))
+    n = Decompressor().decompress_deflate_into(bytes(out), exact)
+    assert n == len(data) and bytes(exact) == data
+    with pytest.raises(InsufficientSpaceError):
+        Decompressor().decompress_deflate_into(
+            bytes(out), bytearray(len(data) - 1))
