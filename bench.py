@@ -72,10 +72,19 @@ def main() -> None:
     arr[:, :, :BLOCK] = flat
     enc = e2.jit_encoder_scan(BLOCK, unroll)
 
+    # K launches inside ONE jit with a single scalar sync at the end:
+    # per-call sync over the dev tunnel costs a VARIABLE ~30 ms, so
+    # single-call timings measure the tunnel, not the chip. Inputs are
+    # perturbed per iteration so nothing can fold across iterations.
+    K = 4
+
     @jax.jit
     def probe(a, v, fin):
-        out = enc(a, v, fin)
-        return out[4].sum() + out[0].reshape(-1)[0].astype(jnp.int32)
+        def body(i, acc):
+            out = enc(a + i.astype(jnp.uint8), v, fin)
+            return acc + out[4].sum() + out[0].reshape(-1)[0].astype(
+                jnp.int32)
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
     a = jnp.asarray(arr)
     v = jnp.asarray(np.full((unroll, LAUNCH_ROWS), BLOCK, np.int32))
@@ -84,8 +93,8 @@ def main() -> None:
     # best-of: the host core is shared (driver/telemetry), so the mean
     # over-counts scheduler noise; the fastest run is the honest
     # device-throughput observation (criterion's min-based estimator)
-    dt = min(_timed(lambda: int(probe(a, v, fin))) for _ in range(8))
-    gbps = size / max(dt - 0.03, 1e-9) / 1e9
+    dt = min(_timed(lambda: int(probe(a, v, fin))) for _ in range(6))
+    gbps = K * size / max(dt - 0.03, 1e-9) / 1e9
 
     # control arm: single-core C zlib level 1 on the same host
     big = make_corpus(32 << 20)

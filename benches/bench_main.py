@@ -99,7 +99,11 @@ def main() -> None:
     ap.add_argument("--device", action="store_true",
                     help="include device (JAX) groups")
     ap.add_argument("--no-silesia", action="store_true")
+    ap.add_argument("--only-device", action="store_true",
+                    help="run just the device groups (fast re-measure)")
     args = ap.parse_args()
+    if args.only_device:
+        args.device = True
 
     import libdeflate_rsx_tpu as ld
 
@@ -112,6 +116,8 @@ def main() -> None:
         sizes["l"] = 4 << 20
         sizes["xl"] = 64 << 20
 
+    if args.only_device:
+        sizes = {}
     # -- Compress (host engine) -------------------------------------------
     levels = [1, 6] if args.quick else [1, 6, 9, 10, 12]
     for name, size in sizes.items():
@@ -142,7 +148,8 @@ def main() -> None:
             rec("decompress", f"level{lvl}/{name}", size, secs, zsecs, lsecs)
 
     # -- Checksums ----------------------------------------------------------
-    for name, size in [("large", 4 << 20), ("micro", 4096), ("nano", 64),
+    for name, size in [] if args.only_device else [
+                       ("large", 4 << 20), ("micro", 4096), ("nano", 64),
                        ("tail", 1031), ("unaligned", (1 << 20) + 1)]:
         data = pattern(size)
         secs = timeit(ld.crc32, data)
@@ -155,7 +162,8 @@ def main() -> None:
         rec("adler32", name, size, secs, zsecs, lsecs)
 
     # -- Per-offset decode (reference offsets 1..64 sweep) ------------------
-    offsets = [3, 8, 18] if args.quick else list(range(1, 65))
+    offsets = [] if args.only_device else (
+        [3, 8, 18] if args.quick else list(range(1, 65)))
     for off in offsets:
         base = bytes((37 * i + 11) % 256 for i in range(off))
         data = (base * ((1 << 20) // off + 1))[: 1 << 20]
@@ -170,7 +178,7 @@ def main() -> None:
 
     # -- Batch ---------------------------------------------------------------
     chunks = [pattern(32 << 10, seed=i) for i in range(32)]
-    for level in (1, 6):
+    for level in () if args.only_device else (1, 6):
         bc = ld.BatchCompressor(level=level)
         secs = timeit(bc.compress_batch, chunks)
         zsecs = timeit(lambda cs: [zlib.compress(c, level) for c in cs],
@@ -179,39 +187,45 @@ def main() -> None:
                        chunks) if have_ldc else None
         rec("batch", f"compress/32x32KB/level{level}",
             32 * (32 << 10), secs, zsecs, lsecs)
-    comp_chunks = [zlib.compress(c, 6)[2:-4] for c in chunks]
-    caps = [32 << 10] * len(chunks)
-    bd = ld.BatchDecompressor()
-    secs = timeit(bd.decompress_batch, comp_chunks, caps)
-    zsecs = timeit(lambda cs: [zlib.decompress(c, -15) for c in cs],
-                   comp_chunks)
-    lsecs = timeit(lambda cs: [ldc.decompress(c, 32 << 10) for c in cs],
-                   comp_chunks) if have_ldc else None
-    rec("batch", "decompress/32x32KB", 32 * (32 << 10), secs, zsecs, lsecs)
+    if args.only_device:
+        comp_chunks = []
+    else:
+        comp_chunks = [zlib.compress(c, 6)[2:-4] for c in chunks]
+    if not args.only_device:
+        caps = [32 << 10] * len(chunks)
+        bd = ld.BatchDecompressor()
+        secs = timeit(bd.decompress_batch, comp_chunks, caps)
+        zsecs = timeit(lambda cs: [zlib.decompress(c, -15) for c in cs],
+                       comp_chunks)
+        lsecs = timeit(lambda cs: [ldc.decompress(c, 32 << 10)
+                                   for c in cs],
+                       comp_chunks) if have_ldc else None
+        rec("batch", "decompress/32x32KB", 32 * (32 << 10), secs, zsecs,
+            lsecs)
 
-    # -- Stream ---------------------------------------------------------------
-    data = pattern(2 << 20)
+        # -- Stream -----------------------------------------------------------
+        data = pattern(2 << 20)
 
-    def stream_encode(d):
-        sink = io.BytesIO()
-        with ld.DeflateEncoder(sink, level=6) as enc:
-            enc.write(d)
-        return sink.getvalue()
+        def stream_encode(d):
+            sink = io.BytesIO()
+            with ld.DeflateEncoder(sink, level=6) as enc:
+                enc.write(d)
+            return sink.getvalue()
 
-    secs = timeit(stream_encode, data)
-    rec("stream", "encode/2MB/level6", len(data), secs)
+        secs = timeit(stream_encode, data)
+        rec("stream", "encode/2MB/level6", len(data), secs)
 
-    comp = zlib.compress(data, 6)[2:-4]
+        comp = zlib.compress(data, 6)[2:-4]
 
-    def stream_decode(c):
-        return ld.DeflateDecoder(io.BytesIO(c)).read()
+        def stream_decode(c):
+            return ld.DeflateDecoder(io.BytesIO(c)).read()
 
-    secs = timeit(stream_decode, comp)
-    zsecs = timeit(lambda c: zlib.decompress(c, -15), comp)
-    rec("stream", "decode/2MB/level6", len(data), secs, zsecs)
+        secs = timeit(stream_decode, comp)
+        zsecs = timeit(lambda c: zlib.decompress(c, -15), comp)
+        rec("stream", "decode/2MB/level6", len(data), secs, zsecs)
 
     # -- Silesia-like corpus (BASELINE.md headline metric) --------------------
-    if not args.no_silesia:
+    if not args.no_silesia and not args.only_device:
         members = corpus_files(args.quick)
         for level in ([6] if args.quick else [1, 6]):
             tot = {"n": 0, "ours": 0.0, "zlib": 0.0, "ld": 0.0,
@@ -293,6 +307,11 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
+        # Per-call sync over the dev tunnel costs a VARIABLE ~30 ms, so
+        # every device probe runs K launches inside ONE jit (inputs
+        # perturbed per iteration, single scalar sync) and divides.
+        K_DEV = 4
+
         BLOCK, ROWS, UNROLL = 65536, 16, 4
         size = UNROLL * ROWS * BLOCK
         data = pattern(size)
@@ -314,12 +333,15 @@ def main() -> None:
 
         @jax.jit
         def probe_static(a_, v_, f_):
-            o = enc(a_, v_, f_)
-            return o[4].sum() + o[0].reshape(-1)[0].astype(jnp.int32)
+            def body(i, acc):
+                o = enc(a_ + i.astype(jnp.uint8), v_, f_)
+                return acc + o[4].sum() + o[0].reshape(-1)[0].astype(
+                    jnp.int32)
+            return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
         int(probe_static(a, v, fin))
         secs = max(best_of(lambda: int(probe_static(a, v, fin))) - 0.03,
-                   1e-9)
+                   1e-9) / K_DEV
         zsecs = timeit(lambda d: zlib.compress(d, 1), data)
         rec("device", "compress/static-tier/sustained", size, secs, zsecs)
 
@@ -337,20 +359,26 @@ def main() -> None:
 
         @jax.jit
         def probe_dynA(a_, v_):
-            o = ja(a_, v_)
-            return o[4].sum() + o[0].reshape(-1)[0]
+            def body(i, acc):
+                o = ja(a_ + i.astype(jnp.uint8), v_)
+                return acc + o[4].sum() + o[0].reshape(-1)[0]
+            return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
         @jax.jit
         def probe_dynB(a_, *rest):
-            o = je(a_, *rest)
-            return o[3].sum() + o[0].reshape(-1)[0].astype(jnp.int32)
+            def body(i, acc):
+                o = je(a_ + i.astype(jnp.uint8), *rest)
+                return acc + o[3].sum() + o[0].reshape(-1)[0].astype(
+                    jnp.int32)
+            return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
         int(probe_dynA(a2, v2))
-        tA = max(best_of(lambda: int(probe_dynA(a2, v2))) - 0.03, 1e-9)
+        tA = max(best_of(lambda: int(probe_dynA(a2, v2))) - 0.03,
+                 1e-9) / K_DEV
         args_b = (outA[0], outA[1], outA[2], outA[3], llj, ofj, hbj)
         int(probe_dynB(a2, *args_b))
         tB = max(best_of(lambda: int(probe_dynB(a2, *args_b))) - 0.03,
-                 1e-9)
+                 1e-9) / K_DEV
         t0 = time.perf_counter()
         build_tables_host(outA[4], outA[5], finals)
         tH = time.perf_counter() - t0
@@ -367,32 +395,48 @@ def main() -> None:
                 "zlib6_ratio": round(
                     len(tdata) / len(zlib.compress(tdata, 6)), 3)})
 
-        # batch decode: table-driven Pallas kernel, device-resident
+        # batch decode: table-driven Pallas kernel, device-resident.
+        # TWO input sets alternate inside the loop — a loop-invariant
+        # kernel call would be hoisted by XLA and time nothing.
         from libdeflate_rsx_tpu.ops.pallas import inflate_v2 as iv
         chunks = [pattern(BLOCK - 1024, seed=i) for i in range(16)]
         comps = [zlib.compress(c, 6)[2:-4] for c in chunks]
         outs = iv.inflate_device(comps)
         assert all(o == c for o, c in zip(outs, chunks))
         b = len(comps)
-        lens = np.zeros(b, np.int32)
-        words = np.zeros((b, iv.IN_WORDS), np.int32)
-        for i, sbuf in enumerate(comps):
-            lens[i] = len(sbuf)
-            arr8 = np.frombuffer(sbuf, np.uint8)
-            pad = (-len(arr8)) % 4
-            if pad:
-                arr8 = np.concatenate([arr8, np.zeros(pad, np.uint8)])
-            words[i, : len(arr8) // 4] = arr8.view("<i4")
-        jl, jw = jnp.asarray(lens), jnp.asarray(words)
+
+        def pack_comps(cs):
+            lens = np.zeros(b, np.int32)
+            words = np.zeros((b, iv.IN_WORDS), np.int32)
+            for i, sbuf in enumerate(cs):
+                lens[i] = len(sbuf)
+                arr8 = np.frombuffer(sbuf, np.uint8)
+                pad = (-len(arr8)) % 4
+                if pad:
+                    arr8 = np.concatenate(
+                        [arr8, np.zeros(pad, np.uint8)])
+                words[i, : len(arr8) // 4] = arr8.view("<i4")
+            return jnp.asarray(lens), jnp.asarray(words)
+
+        jl, jw = pack_comps(comps)
+        comps_b = [zlib.compress(pattern(BLOCK - 1024, seed=100 + i),
+                                 6)[2:-4] for i in range(16)]
+        jl2, jw2 = pack_comps(comps_b)
         raw = iv._jit_inflate(b)
 
         @jax.jit
-        def probe_dec(l_, w_):
-            o = raw(l_, w_)
-            return o[:, 0, iv.OUT_WORDS - 1].sum()
+        def probe_dec(la_, wa_, lb_, wb_):
+            def body(i, acc):
+                l_ = jnp.where(i % 2 == 0, la_, lb_)
+                w_ = jnp.where(i % 2 == 0, wa_, wb_)
+                o = raw(l_, w_)
+                return acc + o[:, 0, iv.OUT_WORDS - 1].sum()
+            return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
-        int(probe_dec(jl, jw))
-        secs = max(best_of(lambda: int(probe_dec(jl, jw))) - 0.03, 1e-9)
+        int(probe_dec(jl, jw, jl2, jw2))
+        secs = max(
+            best_of(lambda: int(probe_dec(jl, jw, jl2, jw2))) - 0.03,
+            1e-9) / K_DEV
         tot = sum(len(c) for c in chunks)
         zsecs = timeit(lambda cs: [zlib.decompress(c, -15) for c in cs],
                        comps)
@@ -413,17 +457,33 @@ def main() -> None:
         for name2, fn2, arr2, init2, ctrl in (
                 ("crc32", crc_fn, arr_c, jnp.uint32(0), zlib.crc32),
                 ("adler32", adl_fn, arr_a, jnp.uint32(1), zlib.adler32)):
-            int(fn2(arr2, init2))
-            secs = max(best_of(lambda: int(fn2(arr2, init2))) - 0.01,
-                       1e-9)
+            # perturb the DATA per iteration: only folding the init
+            # value would let XLA hoist the heavy data pass. The MXU
+            # checksums are fast enough that K_DEV iterations would
+            # drown in the sync floor — loop 64x.
+            K_CK = 256
+            lfn = jax.jit(lambda a_, i0, f=fn2: jax.lax.fori_loop(
+                0, K_CK,
+                lambda i, acc: acc + f(
+                    a_.at[0].set(i.astype(jnp.uint8)), i0),
+                jnp.uint32(0)))
+            int(lfn(arr2, init2))
+            secs = max(best_of(lambda: int(lfn(arr2, init2))) - 0.03,
+                       1e-9) / K_CK
             zsecs = timeit(ctrl, data)
             rec("device", f"{name2}/8MB/sustained", n8, secs, zsecs)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    results = h.results
+    if args.only_device and os.path.exists(out):
+        # merge: refresh the device rows, keep everything else
+        with open(out) as f:
+            prior = json.load(f)
+        results = [r for r in prior if r["group"] != "device"] + results
     with open(out, "w") as f:
-        json.dump(h.results, f, indent=1)
-    print(f"\n{len(h.results)} results -> {out}")
+        json.dump(results, f, indent=1)
+    print(f"\n{len(results)} results -> {out}")
 
 
 if __name__ == "__main__":
