@@ -143,7 +143,6 @@ static inline int64_t bw_finish(BitW *w) {
 /* package-merge length-limited Huffman                                */
 /* ------------------------------------------------------------------ */
 
-typedef struct { uint64_t w; int32_t left, right, sym; } PmNode;
 
 /* lens[] out; returns 0 ok */
 static int pm_lengths(const uint64_t *freq, int n, int limit, uint8_t *lens) {
@@ -722,40 +721,6 @@ static int bt_find_insert(BT *t, int64_t i, uint32_t rec_max, Cand *out,
     return nc;
 }
 
-static int mf_find_all(MF *m, int64_t i, uint32_t max, Cand *out) {
-    if (i + MIN_MATCH + 1 > m->n || max < 3) return 0;
-    int64_t limit = i - WINDOW;
-    int nc = 0;
-    const uint8_t *base = m->buf;
-    /* single-probe hash3: a length-3 candidate at close range (the
-     * reference's HT tier; far 3-matches cost more than literals) */
-    int32_t j3 = m->head3[hash3(base + i, m->hshift)];
-    if (j3 >= 0 && i - j3 <= 4096 && j3 > limit
-            && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
-            && base[j3 + 2] == base[i + 2]) {
-        out[nc].len = 3;
-        out[nc].off = (uint32_t)(i - j3);
-        nc++;
-    }
-    if (max < 4) return nc;
-    int32_t j = m->head[hash4(base + i, m->hshift)];
-    int d = m->depth;
-    uint32_t best = 3;
-    while (j >= 0 && j > limit && d-- > 0 && nc < MAXC) {
-        if (base[j + best] == base[i + best]) {
-            uint32_t l = match_len(base + j, base + i, max);
-            if (l > best) {
-                out[nc].len = (uint16_t)l;
-                out[nc].off = (uint32_t)(i - j);
-                nc++;
-                best = l;
-                if (l >= max) break;
-            }
-        }
-        j = m->prevl[j & MF_RM];
-    }
-    return nc;
-}
 
 static void optimal_parse(const uint8_t *buf, int64_t bstart,
                           int64_t bend, int64_t n_total,
