@@ -476,11 +476,14 @@ def main() -> None:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
     results = h.results
-    if args.only_device and os.path.exists(out):
-        # merge: refresh the device rows, keep everything else
+    if os.path.exists(out):
+        # merge: refresh the groups this run measured, keep the rest
+        # (e.g. a host-only run preserves the device rows and vice versa)
         with open(out) as f:
             prior = json.load(f)
-        results = [r for r in prior if r["group"] != "device"] + results
+        measured = {r["group"] for r in results}
+        results = [r for r in prior
+                   if r["group"] not in measured] + results
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\n{len(results)} results -> {out}")
