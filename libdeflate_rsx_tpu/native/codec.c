@@ -869,7 +869,7 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
         static_lens(llc, ofc);
         int nseq = 0;
         int64_t nlit = 0;
-        int npass = level >= 11 ? 3 : 2;
+        int npass = level >= 12 ? 5 : (level == 11 ? 3 : 2);
         for (int pass = 0; pass < npass; pass++) {
             /* level 10 (the DP family's speed tier): the cost-seeding
              * pass parses only a 64 KiB prefix sample — symbol
