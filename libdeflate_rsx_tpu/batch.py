@@ -7,8 +7,8 @@ list[Optional[bytes]]` with per-item fault isolation (a failed item yields
 b"" / None, never aborts the batch). Where the reference offloads to a CUDA
 stored-block kernel with silent CPU fallback, this build offloads to the
 TPU block encoders (models/stored.py, models/greedy_static.py) with
-silent host-engine fallback, and computes container checksums with the
-device kernels when the device path is active.
+silent host-engine fallback. Container checksums use the host SIMD
+kernels (device checksums belong to the sharded path, parallel/shard.py).
 """
 
 from __future__ import annotations

@@ -104,6 +104,10 @@ def get_lib():
         return None
     try:
         lib = ctypes.CDLL(so)
+        # eager init while single-threaded (GIL held here; the hot
+        # entry points are later called GIL-released from pool threads)
+        lib.ldrsx_global_init.restype = None
+        lib.ldrsx_global_init()
         lib.assemble_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,

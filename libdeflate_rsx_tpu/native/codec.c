@@ -1980,3 +1980,17 @@ int64_t dyn_tables_c(const uint32_t *llf_in, const uint32_t *off_in,
     if (w.overflow) return -2;
     return 3 + hdr.hdr_bits;
 }
+
+/* ------------------------------------------------------------------ */
+/* Eager global init: the lazy ready-flag pattern above is not safe    */
+/* once callers release the GIL (pool threads may observe the flag     */
+/* store before the table/constant stores). Called once at load time   */
+/* from PyInit__codec / the ctypes loader, while still single-threaded.*/
+/* ------------------------------------------------------------------ */
+void ldrsx_global_init(void) {
+    crc_init();
+#if defined(__x86_64__) || defined(__i386__)
+    crc_simd_init();
+    adler_simd_init();
+#endif
+}

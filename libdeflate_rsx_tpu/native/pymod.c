@@ -227,6 +227,11 @@ static struct PyModuleDef moduledef = {
     NULL, NULL, NULL, NULL,
 };
 
+void ldrsx_global_init(void);
+
 PyMODINIT_FUNC PyInit__codec(void) {
+    /* eager checksum-table/SIMD-tier init while still single-threaded;
+     * the hot functions release the GIL, so lazy init would race */
+    ldrsx_global_init();
     return PyModule_Create(&moduledef);
 }

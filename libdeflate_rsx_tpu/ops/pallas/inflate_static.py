@@ -258,7 +258,7 @@ def _jit_inflate():
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((b, 1, OUT_WORDS),
                                    lambda i, l: (0, 0, 0),
                                    memory_space=pltpu.VMEM),

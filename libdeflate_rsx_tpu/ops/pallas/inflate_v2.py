@@ -65,7 +65,10 @@ def _kernel(len_ref, words_hbm, out_ref, in_s, out_s, ll_s, of_s, pre_s,
     me = pl.program_id(0)
     in_len = len_ref[me]
     in_bits = in_len * 8
-    out_cap = jnp.int32((OUT_WORDS - 1) * 4)
+    # data area excludes BOTH reserved trailer words (bad-flag at
+    # OUT_WORDS-2, count at OUT_WORDS-1) — a stream decoding into the
+    # flag word would otherwise report success with zeroed tail bytes
+    out_cap = jnp.int32((OUT_WORDS - 2) * 4)
 
     dma = pltpu.make_async_copy(words_hbm.at[me], in_s, sem)
     dma.start()
@@ -609,7 +612,7 @@ def _jit_inflate(batch: int):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((b, 1, OUT_WORDS),
                                    lambda i, l: (0, 0, 0),
                                    memory_space=pltpu.VMEM),

@@ -17,6 +17,7 @@ parallel AND matches cross chunk boundaries.
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 _pool: ThreadPoolExecutor | None = None
@@ -52,9 +53,17 @@ def get_pool() -> ThreadPoolExecutor | None:
 def pmap(fn, items: list) -> list:
     """Ordered map over the pool; serial when the pool is width 1 or the
     work list is trivial. Exceptions propagate (callers that need
-    per-item fault isolation wrap `fn`)."""
+    per-item fault isolation wrap `fn`).
+
+    Re-entrant calls (a pool worker submitting to the same pool — e.g.
+    BatchCompressor items >256 KiB re-entering the chunked one-shot
+    path) run serially: blocking a worker on inner jobs that need a
+    worker slot can deadlock the whole pool when every slot is blocked.
+    """
     items = list(items)
     if len(items) <= 1:
+        return [fn(x) for x in items]
+    if threading.current_thread().name.startswith("ldrsx"):
         return [fn(x) for x in items]
     pool = get_pool()
     if pool is None:

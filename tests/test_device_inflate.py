@@ -98,3 +98,20 @@ def test_batch_decompressor_device_fault_isolation():
     assert out[0] == b"x" * 5000
     assert out[1] is None
     assert out[2] == b"x" * 5000
+
+
+def test_output_near_reserved_trailer_words_not_corrupted():
+    """Regression (round-2 advisor): outputs landing in the reserved
+    trailer words used to report success with silently zeroed tails.
+    Every size around the data-area cap must either decode byte-exact
+    or yield None — never corrupt."""
+    from libdeflate_rsx_tpu.ops.pallas.inflate_v2 import OUT_WORDS
+
+    cap = (OUT_WORDS - 2) * 4
+    r = random.Random(5)
+    sizes = [cap - 4, cap - 1, cap, cap + 1, cap + 4]
+    datas = [bytes(r.randrange(256) for _ in range(100)) * (s // 100)
+             + b"x" * (s % 100) for s in sizes]
+    comps = [zlib.compress(d, 6)[2:-4] for d in datas]
+    for d, got in zip(datas, _inflate(comps)):
+        assert got is None or got == d

@@ -116,3 +116,31 @@ def test_pmap_propagates_and_orders():
                                                       for i in range(50)]
     with pytest.raises(ValueError):
         pmap(lambda x: (_ for _ in ()).throw(ValueError("boom")), [1, 2])
+
+
+def test_batch_of_large_items_no_reentrant_deadlock(monkeypatch):
+    """Batch items >256 KiB re-enter the chunked one-shot path from pool
+    workers; with pool width <= item count this used to deadlock (every
+    worker blocked waiting for inner chunk jobs). Regression for the
+    round-2 advisor finding: 2 workers x two 600 KB items must finish."""
+    import threading
+
+    monkeypatch.setenv("LIBDEFLATE_RSX_THREADS", "2")
+    from libdeflate_rsx_tpu.batch import BatchCompressor
+    from libdeflate_rsx_tpu.parallel import hostpool
+
+    # reset the cached pool so the new width takes effect
+    items = [_mixed(600 * 1024), _mixed(600 * 1024)]
+    result = []
+
+    def run():
+        comp = BatchCompressor(level=6, format="deflate",
+                               use_device=False).compress_batch(items)
+        result.append(comp)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "batch of large items deadlocked the pool"
+    for data, comp in zip(items, result[0]):
+        assert zlib.decompress(comp, -15) == data
