@@ -1994,3 +1994,64 @@ void ldrsx_global_init(void) {
     adler_simd_init();
 #endif
 }
+
+/* ------------------------------------------------------------------ */
+/* LZ token resolver — pass 2 of the two-pass device decoder.          */
+/* Token format: ops/tokens.py (kind in bits 29..30: 0 NOP, 1 literal  */
+/* byte in 0..7, 2 match with len-3 in 0..7 and dist-1 in 8..22).      */
+/* Runs at memcpy speed: the device pass-1 kernel already did all bit  */
+/* and Huffman work. Returns output length, or -1 on an invalid token  */
+/* (dist beyond start, output overflow).                               */
+/* ------------------------------------------------------------------ */
+int64_t resolve_tokens_c(const int32_t *toks, int64_t ntoks,
+                         uint8_t *out, int64_t out_cap) {
+    uint8_t *op = out, *oend = out + out_cap;
+    /* fast region: 40 bytes of slack lets match copies run 16-wide
+     * without per-byte bounds checks */
+    uint8_t *osafe = out_cap > 300 ? oend - 300 : out;
+    for (int64_t i = 0; i < ntoks; i++) {
+        int32_t t = toks[i];
+        uint32_t kind = ((uint32_t)t >> 29) & 3;
+        if (kind == 0) continue;
+        if (kind == 1) {
+            if (op >= oend) return -1;
+            *op++ = (uint8_t)t;
+            continue;
+        }
+        if (kind != 2) return -1;
+        int64_t len = (t & 0xFF) + 3;
+        int64_t dist = ((t >> 8) & 0x7FFF) + 1;
+        if (dist > op - out) return -1;
+        if (op + len > oend) return -1;
+        const uint8_t *src = op - dist;
+        uint8_t *dst = op;
+        op += len;
+        if (op < osafe) {
+            if (dist >= 16) {
+                do {
+                    memcpy(dst, src, 16);
+                    dst += 16; src += 16;
+                } while (dst < op);
+            } else if (dist >= 8) {
+                do {
+                    memcpy(dst, src, 8);
+                    dst += 8; src += 8;
+                } while (dst < op);
+            } else {
+                /* small offset: stamp a 16-byte period-`dist` pattern,
+                 * advancing by the largest multiple of dist <= 16 so
+                 * every stamp stays phase-aligned */
+                uint8_t pat[16];
+                for (int k = 0; k < 16; k++) pat[k] = src[k % dist];
+                int64_t adv = dist * (16 / dist);
+                do {
+                    memcpy(dst, pat, 16);
+                    dst += adv;
+                } while (dst < op);
+            }
+        } else {
+            while (dst < op) *dst++ = *src++;
+        }
+    }
+    return op - out;
+}

@@ -125,3 +125,14 @@ def native_adler32(data: bytes, adler: int = 1) -> int | None:
     import numpy as np
     src = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
     return int(lib.adler32_c(adler & 0xFFFFFFFF, src.ctypes.data, len(data)))
+
+
+def native_resolve_tokens(tokens, out_cap: int) -> bytes | None:
+    """Pass-2 LZ resolution of a device token column (ops/tokens.py
+    format). Returns the decoded bytes, None if the tokens are invalid,
+    or raises LookupError when no native library exists (callers use
+    the numpy resolver)."""
+    ext = get_ext()
+    if ext is not None:
+        return ext.resolve_tokens(tokens, out_cap)
+    raise LookupError("no native resolver")

@@ -26,6 +26,8 @@ extern int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                          int64_t out_cap, int64_t *consumed);
 extern uint32_t crc32_c(uint32_t crc, const uint8_t *p, int64_t n);
 extern uint32_t adler32_c(uint32_t adler, const uint8_t *p, int64_t n);
+extern int64_t resolve_tokens_c(const int32_t *toks, int64_t ntoks,
+                                uint8_t *out, int64_t out_cap);
 
 #define ERR_BADDATA (-1)
 #define ERR_SPACE (-2)
@@ -211,6 +213,41 @@ static PyObject *py_inflate(PyObject *self, PyObject *const *args,
     return tup;
 }
 
+/* resolve_tokens(tokens_i32_buffer, out_cap) -> bytes | None on bad.
+ * Pass 2 of the two-pass device decoder (ops/tokens.py format). */
+static PyObject *py_resolve_tokens(PyObject *self, PyObject *const *args,
+                                   Py_ssize_t nargs) {
+    (void)self;
+    if (nargs != 2) {
+        PyErr_SetString(PyExc_TypeError, "resolve_tokens(tokens, out_cap)");
+        return NULL;
+    }
+    Py_buffer toks;
+    if (PyObject_GetBuffer(args[0], &toks, PyBUF_SIMPLE) < 0) return NULL;
+    int64_t out_cap = PyLong_AsLongLong(args[1]);
+    if (PyErr_Occurred() || out_cap < 0) {
+        PyBuffer_Release(&toks);
+        if (!PyErr_Occurred())
+            PyErr_SetString(PyExc_ValueError, "out_cap must be >= 0");
+        return NULL;
+    }
+    PyObject *out = PyBytes_FromStringAndSize(NULL, out_cap ? out_cap : 1);
+    if (!out) { PyBuffer_Release(&toks); return NULL; }
+    uint8_t *dst = (uint8_t *)PyBytes_AS_STRING(out);
+    int64_t ntoks = toks.len / 4;
+    int64_t n;
+    Py_BEGIN_ALLOW_THREADS
+    n = resolve_tokens_c((const int32_t *)toks.buf, ntoks, dst, out_cap);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&toks);
+    if (n < 0) {
+        Py_DECREF(out);
+        Py_RETURN_NONE;
+    }
+    if (_PyBytes_Resize(&out, (Py_ssize_t)n) < 0) return NULL;
+    return out;
+}
+
 static PyMethodDef methods[] = {
     {"crc32", (PyCFunction)py_crc32, METH_FASTCALL, "crc32(data, crc=0)"},
     {"adler32", (PyCFunction)py_adler32, METH_FASTCALL,
@@ -219,6 +256,8 @@ static PyMethodDef methods[] = {
      "deflate(data, level, flush, history=b'')"},
     {"inflate", (PyCFunction)py_inflate, METH_FASTCALL,
      "inflate(data, max_out)"},
+    {"resolve_tokens", (PyCFunction)py_resolve_tokens, METH_FASTCALL,
+     "resolve_tokens(tokens, out_cap)"},
     {NULL, NULL, 0, NULL},
 };
 

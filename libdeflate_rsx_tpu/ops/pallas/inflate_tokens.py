@@ -1,0 +1,844 @@
+"""Pallas TPU kernel: lockstep-SIMD DEFLATE entropy decoder (pass 1).
+
+The round-3 decode architecture. The round-2 kernel (inflate_v2.py) ran
+one stream per grid cell as a scalar symbol loop; since a TPU core has a
+single scalar pipeline, grid cells serialize and throughput was capped at
+~0.27 GB/s. This kernel instead decodes LANES=128 streams *per grid
+cell simultaneously*, one stream per VPU lane, so the per-symbol work is
+vector ops across lanes (the TPU re-design of the reference's per-thread
+batch decode, reference src/batch.rs:74-101, and its table-driven symbol
+loop, reference src/decompress/mod.rs:509-1072).
+
+Key design points (all probed on real TPU hardware this round):
+- Canonical-arithmetic Huffman decode: bit-reverse the peeked 15 bits,
+  compare against per-length MSB-aligned limits (a 15-row compare
+  ladder), then one one-hot gather into the per-lane canonical symbol
+  permutation. No 2048-entry root tables - the only large gather is the
+  288-row perm.
+- Per-lane 64-bit bit buffer (two uint32 vectors + bit count), refilled
+  word-by-word from a VMEM window via one-hot row gathers.
+- Input windows: each lane's next two 256-byte chunks, fetched by
+  per-lane DMA (leading-index-only - inner-dim DMA slicing is broken in
+  this toolchain) into lane-major staging, then transposed in-kernel to
+  lane-minor layout. Refill every REFILL_EVERY steps.
+- Lanes run a mode machine (block header / precode / code-lens RLE /
+  table build / body / stored / done / bad). Cheap handlers are gated
+  with lax.cond on "any lane in mode"; the expensive canonical table
+  build is *batched*: lanes reaching it stall until enough lanes (or
+  all active lanes) need it, then one masked build serves them all.
+- One int32 token per lane per step (ops/tokens.py format; header/stall
+  steps emit NOPs), written to a VMEM ring and DMA-flushed to HBM every
+  TOK_CHUNK steps. Pass 2 (LZ resolution) is native/codec.c
+  resolve_tokens_c or the numpy fallback.
+
+Caps: 64 KiB compressed input and 64 KiB output per stream. Streams
+that exceed a cap, are malformed, or do not finish within the step
+budget report a non-DONE mode and the caller falls back to the host
+decoder (the reference's graceful-fallback pattern, src/batch.rs:23-27).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tokens import KIND_LIT, KIND_MATCH, KIND_SHIFT
+
+LANES = 128                 # streams per grid cell (VPU lane axis)
+CHUNK_WORDS = 128           # input DMA chunk: 128 words = 512 B (the
+                            # DMA minor dim must be 128-aligned)
+WIN_ROWS = 2 * CHUNK_WORDS  # window = current + next chunk per lane
+IN_CAP = 65536              # compressed bytes per stream
+NCHUNK = IN_CAP // (4 * CHUNK_WORDS) + 4   # +pad so ck+1 always exists
+OUT_CAP = 65536             # decoded bytes per stream
+TOK_CHUNK = 256             # steps per token flush
+REFILL_EVERY = 64           # steps between window refills (<= 48 bits
+                            # consumed per step keeps two chunks enough)
+
+# lane modes (active = mode < DONE)
+BLKSTART, PRELEN, LENS, AWAITBUILD, BODY, STORED, DONE, BAD = range(8)
+
+# precode length order (RFC 1951 3.2.7)
+CLCL_ORDER = np.array([16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3,
+                       13, 2, 14, 1, 15], np.int32)
+
+
+def _static_tables():
+    """Static-Huffman canonical params (lim MSB-aligned, fb = base-first,
+    perm) for litlen and dist, as numpy arrays."""
+    def canon(lens, nperm):
+        cnt = np.zeros(16, np.int64)
+        for l in lens:
+            cnt[l] += 1
+        cnt[0] = 0
+        lim = np.full(16, 1 << 29, np.int64)
+        first = np.zeros(16, np.int64)
+        base = np.zeros(16, np.int64)
+        code = 0
+        bidx = 0
+        for l in range(1, 16):
+            first[l] = code
+            base[l] = bidx
+            lim[l] = (code + cnt[l]) << (15 - l)
+            code = (code + cnt[l]) << 1
+            bidx += cnt[l]
+        order = sorted(range(len(lens)), key=lambda s: (lens[s], s))
+        perm = np.zeros(nperm, np.int64)
+        i = 0
+        for s in order:
+            if lens[s]:
+                perm[i] = s
+                i += 1
+        fb = base - first
+        return (lim.astype(np.int32), fb.astype(np.int32),
+                perm.astype(np.int32))
+
+    ll_lens = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+    of_lens = [5] * 32
+    return canon(np.array(ll_lens), 288), canon(np.array(of_lens), 32)
+
+
+(_S_LL_LIM, _S_LL_FB, _S_LL_PERM), (_S_OF_LIM, _S_OF_FB, _S_OF_PERM) = \
+    _static_tables()
+
+
+# ---------------------------------------------------------------- helpers
+def _shl(x, s):
+    """x << s with s possibly >= 32 (result 0). x, s: (S,128) uint32."""
+    return jnp.where(s >= 32, jnp.uint32(0), x << (s & 31))
+
+
+def _shr(x, s):
+    return jnp.where(s >= 32, jnp.uint32(0), x >> (s & 31))
+
+
+def _rev15(x):
+    """Bit-reverse the low 15 bits of each int32 lane."""
+    x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+    x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+    x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+    x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+    return x >> 1
+
+
+def _rows(n, s):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, s, 128), 0)
+
+
+def _gather(ref, idx, n, s):
+    """ref[(n,S,128)][idx] per lane -> (S,128) int32; idx in [0,n)."""
+    m = _rows(n, s) == idx[None]
+    return jnp.sum(jnp.where(m, ref[...], 0), axis=0)
+
+
+def _scatter(ref, idx, val, mask, n, s):
+    """Masked per-lane write ref[idx, si, li] = val."""
+    m = (_rows(n, s) == idx[None]) & mask[None]
+    ref[...] = jnp.where(m, jnp.broadcast_to(val[None], (n, s, 128)),
+                         ref[...])
+
+
+def _decode_canonical(pk, lim_ref, fb_ref, perm_ref, nperm, s):
+    """One canonical-Huffman decode from 32 peeked bits.
+
+    Returns (sym, code_len, bad). lim rows are MSB-aligned 15-bit
+    limits (row 0 unused = huge); fb rows are base_index - first_code.
+    """
+    v15 = _rev15((pk & jnp.uint32(0x7FFF)).astype(jnp.int32))
+    ge = (v15[None] >= lim_ref[...]).astype(jnp.int32)
+    length = 1 + jnp.sum(ge[1:16], axis=0)
+    bad = length >= 16
+    lc = jnp.clip(length, 1, 15)
+    off = (v15 >> (15 - lc)) + _gather(fb_ref, lc, 16, s)
+    offc = jnp.clip(off, 0, nperm - 1)
+    sym = _gather(perm_ref, offc, nperm, s)
+    return sym, lc, bad
+
+
+def _len_extra(sym):
+    """Litlen symbol (257..285) -> (extra_bits, base_len). Closed form
+    of the RFC 1951 3.2.5 table (shared with inflate_v2.py)."""
+    ls = sym - 257
+    eb = jnp.where(ls < 8, 0, jnp.where(ls == 28, 0, (ls >> 2) - 1))
+    base = jnp.where(ls < 8, ls + 3,
+                     jnp.where(ls == 28, 258, ((4 + (ls & 3)) << eb) + 3))
+    return eb, base
+
+
+def _dist_extra(dsym):
+    """Distance symbol (0..29) -> (extra_bits, base_dist)."""
+    deb = jnp.maximum((dsym >> 1) - 1, 0)
+    dbase = jnp.where(dsym < 4, dsym + 1, ((2 + (dsym & 1)) << deb) + 1)
+    return deb, dbase
+
+
+# Dynamic leading-row VMEM store strategy: "ds" (pl.ds slice store, fast
+# if this Mosaic build supports it) or "onehot" (always works).
+_ROW_STORE = "ds"
+
+
+def _store_row(ref, row, val, n, s):
+    """ref[row] = val for a traced scalar row index."""
+    import jax.experimental.pallas as pl
+
+    if _ROW_STORE == "ds":
+        ref[pl.ds(row, 1)] = val[None]
+    else:
+        m = _rows(n, s) == row
+        ref[...] = jnp.where(m, jnp.broadcast_to(val[None], (n, s, 128)),
+                             ref[...])
+
+
+def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
+                     nperm=None):
+    """Masked in-kernel canonical-code construction from code lengths.
+
+    For lanes in `mask`: counts per length, MSB-aligned limits, combined
+    base-first offsets, and the canonical symbol permutation (counting
+    sort by (length, symbol), statically unrolled over symbols).
+    Returns the over-subscription flag per lane. Mirrors the host
+    builder (native/codec.c build_table2) in canonical semantics, not
+    in table layout - this decoder needs no tables beyond lim/fb/perm.
+    """
+    nperm = nsym if nperm is None else nperm
+    lens = lens_ref[...][:nsym]
+    cnts = [jnp.zeros((s, 128), jnp.int32)]
+    for l in range(1, 16):
+        cnts.append(jnp.sum((lens == l).astype(jnp.int32), axis=0))
+    kraft = jnp.zeros((s, 128), jnp.int32)
+    for l in range(1, 16):
+        kraft = kraft + (cnts[l] << (15 - l))
+    bad_over = kraft > (1 << 15)
+
+    code = jnp.zeros((s, 128), jnp.int32)
+    bidx = jnp.zeros((s, 128), jnp.int32)
+    nxt = [None] * 16
+    big = jnp.full((s, 128), 1 << 29, jnp.int32)
+    lim_ref[0] = jnp.where(mask, big, lim_ref[0])
+    for l in range(1, 16):
+        lim_ref[l] = jnp.where(mask, (code + cnts[l]) << (15 - l),
+                               lim_ref[l])
+        fb_ref[l] = jnp.where(mask, bidx - code, fb_ref[l])
+        nxt[l] = bidx
+        code = (code + cnts[l]) << 1
+        bidx = bidx + cnts[l]
+
+    nxt_arr = jnp.stack([jnp.zeros((s, 128), jnp.int32)] + nxt[1:], 0)
+    rows16 = _rows(16, s)
+    for sym in range(nsym):
+        l = lens_ref[sym]
+        has = (l > 0) & mask
+        pos = jnp.sum(jnp.where(rows16 == l[None], nxt_arr, 0), axis=0)
+        _scatter(perm_ref, jnp.clip(pos, 0, nperm - 1),
+                 jnp.full((s, 128), sym, jnp.int32), has, nperm, s)
+        nxt_arr = nxt_arr + ((rows16 == l[None]) & has[None]).astype(
+            jnp.int32)
+    return bad_over
+
+# per-lane state rows in the `sv` scratch (all handlers are in-place
+# scratch mutators - lax.cond branches returning vector carries hit a
+# Mosaic relayout bug on this toolchain, but ref-mutating branches with
+# no return values compile cleanly; probed on hardware)
+(R_MODE, R_FINAL, R_OUTPOS, R_SREM, R_NLIT, R_NDIST, R_HCLEN, R_IDX,
+ R_PREV, R_REP, R_REPVAL, R_DONESTEP, R_WINBASE, R_LO, R_HI, R_NBITS,
+ R_BITPOS, R_TOK) = range(18)
+NSTATE = 18
+
+
+def _make_kernel(s, max_steps, nflush):
+    """Build the pass-1 kernel for S sublanes (S*128 streams/cell)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = s * 128
+    U, I = jnp.uint32, jnp.int32
+
+    def kernel(inbits_ref, order_ref, sll_lim, sll_fb, sll_perm,
+               sof_lim, sof_fb, sof_perm,
+               x_hbm, tok_hbm, stats_ref,
+               win, staging, sv, ll_lens, of_lens, plens,
+               ll_lim, ll_fb, ll_perm, of_lim, of_fb, of_perm,
+               pre_lim, pre_fb, pre_perm, tokbuf, xferv, xfers,
+               sem, semt):
+        g = pl.program_id(0)
+        inbits = inbits_ref[...]
+
+        def z(v=0):
+            return jnp.full((s, 128), v, I)
+
+        def u32(x):
+            return jax.lax.bitcast_convert_type(x, U)
+
+        def i32(x):
+            return jax.lax.bitcast_convert_type(x, I)
+
+        # ---- bit-buffer state <-> scratch
+        def load_st():
+            return (u32(sv[R_LO]), u32(sv[R_HI]), sv[R_NBITS],
+                    sv[R_BITPOS], sv[R_WINBASE])
+
+        def store_st(st):
+            sv[R_LO] = i32(st[0])
+            sv[R_HI] = i32(st[1])
+            sv[R_NBITS] = st[2]
+            sv[R_BITPOS] = st[3]
+
+        def refill_buf(st):
+            lo, hi, nbits, bitpos, winbase = st
+            need = nbits <= 32
+            wf = (bitpos + nbits) >> 5
+            rel = jnp.clip(wf - winbase, 0, WIN_ROWS - 1)
+            w = u32(_gather(win, rel, WIN_ROWS, s))
+            nb = nbits.astype(U)
+            lo2 = lo | _shl(w, nb)
+            hi2 = hi | jnp.where(nbits == 0, U(0), _shr(w, U(32) - nb))
+            return (jnp.where(need, lo2, lo), jnp.where(need, hi2, hi),
+                    jnp.where(need, nbits + 32, nbits), bitpos, winbase)
+
+        def consume(st, n):
+            lo, hi, nbits, bitpos, winbase = st
+            nu = n.astype(U)
+            lo2 = _shr(lo, nu) | _shl(hi, U(32) - nu)
+            hi2 = _shr(hi, nu)
+            return (lo2, hi2, nbits - n, bitpos + n, winbase)
+
+        def bits(lo, n):
+            mask = _shl(jnp.full((s, 128), 1, U), n.astype(U))
+            mask = jnp.where(n >= 32, U(0xFFFFFFFF), mask - U(1))
+            return (lo & mask).astype(I)
+
+        # ---- window refill: fetch chunks ck, ck+1 per active lane
+        def refill_window():
+            bitpos, nbits = sv[R_BITPOS], sv[R_NBITS]
+            active = sv[R_MODE] < DONE
+            wf = (bitpos + nbits) >> 5
+            ck = jnp.clip(wf // CHUNK_WORDS, 0, NCHUNK - 2)
+            ckx = jnp.where(active, ck, NCHUNK)
+            xferv[...] = ckx
+            cp = pltpu.make_async_copy(xferv, xfers, sem)
+            cp.start()
+            cp.wait()
+
+            def issue(i, _):
+                si, li = i // 128, i % 128
+                c = xfers[si, li]
+
+                @pl.when(c < NCHUNK)
+                def _():
+                    pltpu.make_async_copy(
+                        x_hbm.at[g, i, c], staging.at[0, si, li],
+                        sem).start()
+                    pltpu.make_async_copy(
+                        x_hbm.at[g, i, c + 1], staging.at[1, si, li],
+                        sem).start()
+                return 0
+
+            jax.lax.fori_loop(0, lanes, issue, 0)
+
+            def drain(i, _):
+                si, li = i // 128, i % 128
+                c = xfers[si, li]
+
+                @pl.when(c < NCHUNK)
+                def _():
+                    pltpu.make_async_copy(
+                        x_hbm.at[g, i, c], staging.at[0, si, li],
+                        sem).wait()
+                    pltpu.make_async_copy(
+                        x_hbm.at[g, i, c + 1], staging.at[1, si, li],
+                        sem).wait()
+                return 0
+
+            jax.lax.fori_loop(0, lanes, drain, 0)
+            for h in range(2):
+                for si in range(s):
+                    win[h * CHUNK_WORDS:(h + 1) * CHUNK_WORDS, si, :] = \
+                        staging[h, si].T
+            sv[R_WINBASE] = jnp.where(active, ck * CHUNK_WORDS,
+                                      sv[R_WINBASE])
+
+        # ================== handlers (scratch mutators) ==================
+        def make_hdr_fn(step):
+            def hdr_fn():
+                mode = sv[R_MODE]
+                final = sv[R_FINAL]
+                nlit, ndist = sv[R_NLIT], sv[R_NDIST]
+                hclen, idx = sv[R_HCLEN], sv[R_IDX]
+                prev, rep, repval = sv[R_PREV], sv[R_REP], sv[R_REPVAL]
+                st = load_st()
+                active = mode < DONE
+                mS = active & (mode == BLKSTART)
+                b3 = bits(st[0], z(3))
+                newfin = jnp.where(mS, b3 & 1, final)
+                btype = b3 >> 1
+                st = consume(st, jnp.where(mS, 3, 0))
+                badh = mS & (btype == 3)
+
+                # stored
+                mSt = mS & (btype == 0)
+                pad = (8 - (st[3] & 7)) & 7
+                st = consume(st, jnp.where(mSt, pad, 0))
+                st = refill_buf(st)
+                slen = bits(st[0], z(16))
+                snlen = (st[0] >> U(16)).astype(I) & 0xFFFF
+                badh = badh | (mSt & (slen != (snlen ^ 0xFFFF)))
+                st = consume(st, jnp.where(mSt, 32, 0))
+                sv[R_SREM] = jnp.where(mSt, slen, sv[R_SREM])
+
+                # static: install canonical constants
+                mStat = mS & (btype == 1)
+
+                def inst():
+                    msk = mStat[None]
+                    ll_lim[...] = jnp.where(msk, sll_lim[...], ll_lim[...])
+                    ll_fb[...] = jnp.where(msk, sll_fb[...], ll_fb[...])
+                    ll_perm[...] = jnp.where(msk, sll_perm[...],
+                                             ll_perm[...])
+                    of_lim[...] = jnp.where(msk, sof_lim[...], of_lim[...])
+                    of_fb[...] = jnp.where(msk, sof_fb[...], of_fb[...])
+                    of_perm[...] = jnp.where(msk, sof_perm[...],
+                                             of_perm[...])
+
+                jax.lax.cond(jnp.any(mStat), inst, lambda: None)
+
+                # dynamic header counts
+                mDyn = mS & (btype == 2)
+                hl = bits(st[0], z(5))
+                st = consume(st, jnp.where(mDyn, 5, 0))
+                hd = bits(st[0], z(5))
+                st = consume(st, jnp.where(mDyn, 5, 0))
+                hc = bits(st[0], z(4))
+                st = consume(st, jnp.where(mDyn, 4, 0))
+                nlit = jnp.where(mDyn, 257 + hl, nlit)
+                ndist = jnp.where(mDyn, 1 + hd, ndist)
+                hclen = jnp.where(mDyn, 4 + hc, hclen)
+                badh = badh | (mDyn & ((nlit > 286) | (ndist > 30)))
+                idx = jnp.where(mDyn, 0, idx)
+                prev = jnp.where(mDyn, -1, prev)
+                rep = jnp.where(mDyn, 0, rep)
+
+                def zero_tabs():
+                    mk = mDyn[None]
+                    plens[...] = jnp.where(mk, 0, plens[...])
+                    ll_lens[...] = jnp.where(mk, 0, ll_lens[...])
+                    of_lens[...] = jnp.where(mk, 0, of_lens[...])
+
+                jax.lax.cond(jnp.any(mDyn), zero_tabs, lambda: None)
+
+                after = jnp.where(newfin == 1, DONE, BLKSTART)
+                mode = jnp.where(mSt, jnp.where(slen > 0, STORED, after),
+                                 mode)
+                mode = jnp.where(mStat, BODY, mode)
+                mode = jnp.where(mDyn, PRELEN, mode)
+                final = newfin
+                # LEN==0 stored final block finishes right here
+                sv[R_DONESTEP] = jnp.where(mSt & (slen == 0)
+                                           & (newfin == 1), step,
+                                           sv[R_DONESTEP])
+
+                # ---- PRELEN: one 3-bit precode length per step
+                mP = active & (mode == PRELEN) & ~mS
+                v3 = bits(st[0], z(3))
+                oidx = _gather(order_ref, jnp.clip(idx, 0, 18), 19, s)
+                _scatter(plens, oidx, v3, mP, 19, s)
+                st = consume(st, jnp.where(mP, 3, 0))
+                idx = jnp.where(mP, idx + 1, idx)
+                mPd = mP & (idx >= hclen)
+
+                def pre_build():
+                    b = _build_canonical(plens, 19, pre_lim, pre_fb,
+                                         pre_perm, mPd, s)
+                    sv[R_MODE] = jnp.where(mPd & b, BAD, sv[R_MODE])
+
+                # store mode now so pre_build's BAD write composes
+                sv[R_MODE] = mode
+                jax.lax.cond(jnp.any(mPd), pre_build, lambda: None)
+                mode = sv[R_MODE]
+                badh = badh & (mode != BAD)  # keep badh for non-built
+                mode = jnp.where(mPd & (mode != BAD), LENS, mode)
+                idx = jnp.where(mPd, 0, idx)
+
+                # ---- LENS: RLE code-length decode, one write per step
+                st = refill_buf(st)
+                mL = active & (mode == LENS) & ~mS & ~mP
+                drain2 = mL & (rep > 0)
+                dec = mL & ~drain2
+                sym, clen, badc = _decode_canonical(
+                    st[0], pre_lim, pre_fb, pre_perm, 19, s)
+                st = consume(st, jnp.where(dec, clen, 0))
+                e16 = dec & (sym == 16)
+                e17 = dec & (sym == 17)
+                e18 = dec & (sym == 18)
+                elit = dec & (sym <= 15)
+                rbits = jnp.where(e16, 2, jnp.where(e17, 3,
+                                  jnp.where(e18, 7, 0)))
+                rv = bits(st[0], rbits)
+                st = consume(st, jnp.where(dec, rbits, 0))
+                newrep = jnp.where(e16 | e17, 3 + rv,
+                                   jnp.where(e18, 11 + rv, 0))
+                repval = jnp.where(e16, prev,
+                                   jnp.where(e17 | e18, 0, repval))
+                badh = badh | (dec & badc) | (e16 & (prev < 0))
+                badh = badh | (dec & ~elit
+                               & (idx + newrep > nlit + ndist))
+                wval = jnp.where(elit, sym, repval)
+                wmask = elit | drain2
+                _scatter(ll_lens, jnp.clip(idx, 0, 287), wval,
+                         wmask & (idx < nlit), 288, s)
+                _scatter(of_lens, jnp.clip(idx - nlit, 0, 31), wval,
+                         wmask & (idx >= nlit), 32, s)
+                idx = jnp.where(wmask, idx + 1, idx)
+                rep = jnp.where(drain2, rep - 1,
+                                jnp.where(dec, newrep, rep))
+                prev = jnp.where(elit, sym, prev)
+                # overrun guard above ensures rep drains to exactly 0
+                mLd = mL & (idx >= nlit + ndist)
+                mode = jnp.where(mLd, AWAITBUILD, mode)
+                mode = jnp.where(badh, BAD, mode)
+
+                sv[R_MODE] = mode
+                sv[R_FINAL] = final
+                sv[R_NLIT] = nlit
+                sv[R_NDIST] = ndist
+                sv[R_HCLEN] = hclen
+                sv[R_IDX] = idx
+                sv[R_PREV] = prev
+                sv[R_REP] = rep
+                sv[R_REPVAL] = repval
+                store_st(st)
+
+            return hdr_fn
+
+        def build_fn():
+            mW = sv[R_MODE] == AWAITBUILD
+            b1 = _build_canonical(ll_lens, 288, ll_lim, ll_fb,
+                                  ll_perm, mW, s)
+            b2 = _build_canonical(of_lens, 30, of_lim, of_fb,
+                                  of_perm, mW, s, nperm=32)
+            sv[R_MODE] = jnp.where(mW, jnp.where(b1 | b2, BAD, BODY),
+                                   sv[R_MODE])
+
+        def make_body_fn(step):
+            def body_fn():
+                mode = sv[R_MODE]
+                outpos = sv[R_OUTPOS]
+                final = sv[R_FINAL]
+                mB = mode == BODY
+                st = refill_buf(load_st())
+                sym, clen, badc = _decode_canonical(
+                    st[0], ll_lim, ll_fb, ll_perm, 288, s)
+                is_lit = mB & (sym < 256)
+                is_eob = mB & (sym == 256)
+                is_len = mB & (sym > 256)
+                badb = mB & (badc | (sym > 285))
+                eb, lbase = _len_extra(sym)
+                extra = bits(_shr(st[0], clen.astype(U)), eb)
+                length = lbase + extra
+                st = consume(st, jnp.where(mB, clen, 0)
+                             + jnp.where(is_len, eb, 0))
+                st = refill_buf(st)
+                dsym, dlen, dbadc = _decode_canonical(
+                    st[0], of_lim, of_fb, of_perm, 32, s)
+                deb, dbase = _dist_extra(dsym)
+                dextra = bits(_shr(st[0], dlen.astype(U)), deb)
+                dist = dbase + dextra
+                st = consume(st, jnp.where(is_len, dlen + deb, 0))
+                badb = badb | (is_len & (dbadc | (dsym > 29)
+                                         | (dist > outpos)))
+                newout = outpos + jnp.where(is_lit, 1,
+                                            jnp.where(is_len, length, 0))
+                badb = badb | (mB & (newout > OUT_CAP))
+                tok = jnp.where(
+                    is_lit & ~badb, (KIND_LIT << KIND_SHIFT) | sym,
+                    jnp.where(is_len & ~badb,
+                              (KIND_MATCH << KIND_SHIFT) | (length - 3)
+                              | ((dist - 1) << 8), sv[R_TOK]))
+                sv[R_TOK] = tok
+                sv[R_OUTPOS] = jnp.where(mB & ~badb, newout, outpos)
+                fin_done = is_eob & (final == 1)
+                mode = jnp.where(is_eob,
+                                 jnp.where(final == 1, DONE, BLKSTART),
+                                 mode)
+                sv[R_DONESTEP] = jnp.where(fin_done, step,
+                                           sv[R_DONESTEP])
+                sv[R_MODE] = jnp.where(badb, BAD, mode)
+                store_st(st)
+
+            return body_fn
+
+        def make_stored_fn(step):
+            def stored_fn():
+                mode = sv[R_MODE]
+                mV = mode == STORED
+                final = sv[R_FINAL]
+                st = refill_buf(load_st())
+                byte = bits(st[0], z(8))
+                st = consume(st, jnp.where(mV, 8, 0))
+                newout = sv[R_OUTPOS] + 1
+                badv = mV & (newout > OUT_CAP)
+                sv[R_TOK] = jnp.where(mV & ~badv,
+                                      (KIND_LIT << KIND_SHIFT) | byte,
+                                      sv[R_TOK])
+                sv[R_OUTPOS] = jnp.where(mV & ~badv, newout,
+                                         sv[R_OUTPOS])
+                srem = jnp.where(mV, sv[R_SREM] - 1, sv[R_SREM])
+                sv[R_SREM] = srem
+                done_now = mV & (srem == 0) & (final == 1)
+                mode = jnp.where(mV & (srem == 0),
+                                 jnp.where(final == 1, DONE, BLKSTART),
+                                 mode)
+                sv[R_DONESTEP] = jnp.where(done_now, step,
+                                           sv[R_DONESTEP])
+                sv[R_MODE] = jnp.where(badv, BAD, mode)
+                store_st(st)
+
+            return stored_fn
+
+        # ============================ step loop ============================
+        def step_fn(carry):
+            step, _ = carry
+            sv[R_TOK] = z()
+
+            jax.lax.cond(step % REFILL_EVERY == 0, refill_window,
+                         lambda: None)
+
+            def top_refill():
+                store_st(refill_buf(load_st()))
+
+            top_refill()
+
+            mode = sv[R_MODE]
+            active = mode < DONE
+            in_hdr = active & (mode <= LENS)
+            jax.lax.cond(jnp.any(in_hdr), make_hdr_fn(step),
+                         lambda: None)
+
+            mode = sv[R_MODE]
+            mW = mode == AWAITBUILD
+            nW = jnp.sum(mW.astype(I))
+            nact = jnp.sum((mode < DONE).astype(I))
+            fire = (nW > 0) & ((nW >= nact) | (nW >= lanes // 4))
+            jax.lax.cond(fire, build_fn, lambda: None)
+
+            jax.lax.cond(jnp.any(sv[R_MODE] == BODY), make_body_fn(step),
+                         lambda: None)
+            jax.lax.cond(jnp.any(sv[R_MODE] == STORED),
+                         make_stored_fn(step), lambda: None)
+
+            # consumed past the stream end -> malformed
+            over = (sv[R_MODE] < DONE) & (sv[R_BITPOS] > inbits)
+            sv[R_MODE] = jnp.where(over, BAD, sv[R_MODE])
+
+            _store_row(tokbuf, step % TOK_CHUNK, sv[R_TOK], TOK_CHUNK, s)
+
+            def flush():
+                cp = pltpu.make_async_copy(
+                    tokbuf, tok_hbm.at[g, step // TOK_CHUNK], semt)
+                cp.start()
+                cp.wait()
+                tokbuf[...] = jnp.zeros((TOK_CHUNK, s, 128), I)
+
+            jax.lax.cond(step % TOK_CHUNK == TOK_CHUNK - 1, flush,
+                         lambda: None)
+
+            nact2 = jnp.sum((sv[R_MODE] < DONE).astype(I))
+            return step + 1, nact2
+
+        def cond_fn(carry):
+            step, nact = carry
+            return (step < max_steps) & (nact > 0)
+
+        tokbuf[...] = jnp.zeros((TOK_CHUNK, s, 128), I)
+        sv[...] = jnp.zeros((NSTATE, s, 128), I)
+        sv[R_PREV] = z(-1)
+        sv[R_DONESTEP] = z(-1)
+        laststep, _ = jax.lax.while_loop(
+            cond_fn, step_fn, (jnp.int32(0), jnp.int32(1)))
+
+        def final_flush():
+            cp = pltpu.make_async_copy(
+                tokbuf, tok_hbm.at[g, laststep // TOK_CHUNK], semt)
+            cp.start()
+            cp.wait()
+
+        jax.lax.cond(laststep % TOK_CHUNK != 0, final_flush,
+                     lambda: None)
+
+        stats_ref[0] = sv[R_MODE]
+        stats_ref[1] = sv[R_OUTPOS]
+        stats_ref[2] = sv[R_DONESTEP]
+        stats_ref[3] = sv[R_BITPOS]
+        stats_ref[4] = jnp.full((s, 128), laststep, I)
+        stats_ref[5] = z()
+        stats_ref[6] = z()
+        stats_ref[7] = z()
+
+    return kernel
+
+
+# ============================== host wrapper ==============================
+@functools.lru_cache(maxsize=4)
+def _jit_pass1(groups, s, max_steps):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = s * 128
+    nflush = max_steps // TOK_CHUNK
+    kernel = _make_kernel(s, max_steps, nflush)
+
+    def run(inbits, order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb,
+            sof_perm, words):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(groups,),
+            in_specs=[
+                pl.BlockSpec((1, s, 128), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),   # inbits
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # order
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # static tables x6
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),       # words
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),       # tokens
+                pl.BlockSpec((1, 8, s, 128), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),   # stats
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((WIN_ROWS, s, 128), jnp.int32),      # win
+                pltpu.VMEM((2, s, 128, CHUNK_WORDS), jnp.int32),  # staging
+                pltpu.VMEM((NSTATE, s, 128), jnp.int32),  # sv (lane state)
+                pltpu.VMEM((288, s, 128), jnp.int32),   # ll_lens
+                pltpu.VMEM((32, s, 128), jnp.int32),    # of_lens
+                pltpu.VMEM((19, s, 128), jnp.int32),    # plens
+                pltpu.VMEM((16, s, 128), jnp.int32),    # ll_lim
+                pltpu.VMEM((16, s, 128), jnp.int32),    # ll_fb
+                pltpu.VMEM((288, s, 128), jnp.int32),   # ll_perm
+                pltpu.VMEM((16, s, 128), jnp.int32),    # of_lim
+                pltpu.VMEM((16, s, 128), jnp.int32),    # of_fb
+                pltpu.VMEM((32, s, 128), jnp.int32),    # of_perm
+                pltpu.VMEM((16, s, 128), jnp.int32),    # pre_lim
+                pltpu.VMEM((16, s, 128), jnp.int32),    # pre_fb
+                pltpu.VMEM((19, s, 128), jnp.int32),    # pre_perm
+                pltpu.VMEM((TOK_CHUNK, s, 128), jnp.int32),  # tokbuf
+                pltpu.VMEM((s, 128), jnp.int32),        # xferv
+                pltpu.SMEM((s, 128), jnp.int32),        # xfers
+                pltpu.SemaphoreType.DMA,                 # sem
+                pltpu.SemaphoreType.DMA,                 # semt
+            ],
+        )
+
+        def wrapped(inbits_blk, order_b, a, b, c, d, e, f, words_any,
+                    tok_out, stats_out, *scr):
+            kernel(inbits_blk.at[0], order_b, a, b, c, d, e, f,
+                   words_any, tok_out, stats_out.at[0], *scr)
+
+        return pl.pallas_call(
+            wrapped,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((groups, nflush, TOK_CHUNK, s, 128),
+                                     jnp.int32),
+                jax.ShapeDtypeStruct((groups, 8, s, 128), jnp.int32),
+            ],
+            interpret=jax.default_backend() == "cpu",
+        )(inbits, order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb,
+          sof_perm, words)
+
+    return jax.jit(run)
+
+
+def _consts(s):
+    def bcast(a, n):
+        return jnp.asarray(np.broadcast_to(
+            a.reshape(n, 1, 1), (n, 1, 128)).copy())
+
+    return (bcast(CLCL_ORDER, 19),
+            bcast(_S_LL_LIM, 16), bcast(_S_LL_FB, 16),
+            bcast(_S_LL_PERM, 288),
+            bcast(_S_OF_LIM, 16), bcast(_S_OF_FB, 16),
+            bcast(_S_OF_PERM, 32))
+
+
+def decode_tokens_device(streams: list[bytes], s: int = 1,
+                         max_steps: int = 72 * 1024):
+    """Pass 1 on device: list of raw-DEFLATE streams -> per-stream
+    (token_column int32 array | None, expected_outlen).
+
+    Streams over the input cap or that the kernel flags yield None.
+    """
+    n = len(streams)
+    if n == 0:
+        return []
+    lanes = s * 128
+    groups = -(-n // lanes)
+    total = groups * lanes
+    words = np.zeros((groups, lanes, NCHUNK, CHUNK_WORDS), np.int32)
+    inbits = np.zeros((groups, s, 128), np.int32)
+    ok = [True] * n
+    for i, data in enumerate(streams):
+        if len(data) == 0 or len(data) > IN_CAP:
+            ok[i] = False
+            continue
+        g, lane = i // lanes, i % lanes
+        inbits[g, lane // 128, lane % 128] = len(data) * 8
+        arr = np.frombuffer(data, np.uint8)
+        pad = (-len(arr)) % 4
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+        w = arr.view("<i4")
+        flat = words[g, lane].reshape(-1)
+        flat[:len(w)] = w
+
+    order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb, sof_perm = \
+        _consts(s)
+    run = _jit_pass1(groups, s, max_steps)
+    toks_dev, stats_dev = run(jnp.asarray(inbits), order, sll_lim,
+                              sll_fb, sll_perm, sof_lim, sof_fb,
+                              sof_perm, jnp.asarray(words))
+    stats = np.asarray(stats_dev)        # (G, 8, s, 128)
+    # fetch only the flushed token rows (laststep bound, stats row 4)
+    laststep = int(stats[:, 4].max()) if n else 0
+    nrows = min(-(-max(laststep, 1) // TOK_CHUNK), max_steps // TOK_CHUNK)
+    toks = np.asarray(toks_dev[:, :nrows])   # (G, nrows, TOK_CHUNK, s, 128)
+    toks = toks.reshape(groups, nrows * TOK_CHUNK, lanes)
+
+    out = []
+    for i in range(n):
+        g, lane = i // lanes, i % lanes
+        si, li = lane // 128, lane % 128
+        if not ok[i] or stats[g, 0, si, li] != DONE:
+            out.append((None, 0))
+            continue
+        col = np.ascontiguousarray(toks[g, :, lane])
+        out.append((col, int(stats[g, 1, si, li])))
+    return out
+
+
+def inflate_device_tokens(streams: list[bytes], s: int = 1,
+                          max_steps: int = 72 * 1024):
+    """Full two-pass device decode: pass 1 on device, pass 2 via the
+    native C resolver (numpy fallback). Returns list[bytes | None]."""
+    from ...native.host import native_resolve_tokens
+    from ..tokens import resolve_tokens_np
+
+    res = []
+    for col, outlen in decode_tokens_device(streams, s, max_steps):
+        if col is None:
+            res.append(None)
+            continue
+        try:
+            got = native_resolve_tokens(col, outlen)
+        except LookupError:
+            got = resolve_tokens_np(col, outlen)
+        if got is not None and len(got) != outlen:
+            got = None
+        res.append(got)
+    return res
