@@ -50,13 +50,17 @@ from ..tokens import KIND_LIT, KIND_MATCH, KIND_SHIFT
 LANES = 128                 # streams per grid cell (VPU lane axis)
 CHUNK_WORDS = 128           # input DMA chunk: 128 words = 512 B (the
                             # DMA minor dim must be 128-aligned)
-WIN_ROWS = 2 * CHUNK_WORDS  # window = current + next chunk per lane
+CHUNK_STRIDE = 64           # chunks overlap at 64-word stride so the
+                            # initial in-window offset is < 64 and a
+                            # 128-row window suffices (halves the
+                            # window-gather cost vs aligned chunks)
+WIN_ROWS = CHUNK_WORDS      # per-lane window rows
 IN_CAP = 65536              # compressed bytes per stream
-NCHUNK = IN_CAP // (4 * CHUNK_WORDS) + 4   # +pad so ck+1 always exists
+NCHUNK = IN_CAP // (4 * CHUNK_STRIDE) + 6  # overlapped chunk count + pad
 OUT_CAP = 65536             # decoded bytes per stream
 TOK_CHUNK = 256             # steps per token flush
-REFILL_EVERY = 64           # steps between window refills (<= 48 bits
-                            # consumed per step keeps two chunks enough)
+REFILL_EVERY = 32           # steps between refills: offset(<64) +
+                            # 32*1.5 words consumed + peek ahead < 128
 
 # lane modes (active = mode < DONE)
 BLKSTART, PRELEN, LENS, AWAITBUILD, BODY, STORED, DONE, BAD = range(8)
@@ -92,9 +96,12 @@ def _static_tables():
             if lens[s]:
                 perm[i] = s
                 i += 1
+        packed = np.zeros((nperm + 1) // 2, np.int64)
+        for i in range(nperm):
+            packed[i >> 1] |= perm[i] << ((i & 1) * 16)
         fb = base - first
         return (lim.astype(np.int32), fb.astype(np.int32),
-                perm.astype(np.int32))
+                packed.astype(np.int32))
 
     ll_lens = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
     of_lens = [5] * 32
@@ -154,7 +161,9 @@ def _decode_canonical(pk, lim_ref, fb_ref, perm_ref, nperm, s):
     lc = jnp.clip(length, 1, 15)
     off = (v15 >> (15 - lc)) + _gather(fb_ref, lc, 16, s)
     offc = jnp.clip(off, 0, nperm - 1)
-    sym = _gather(perm_ref, offc, nperm, s)
+    # perm rows pack two 16-bit symbols (halves the big gather)
+    packed = _gather(perm_ref, offc >> 1, (nperm + 1) // 2, s)
+    sym = (packed >> ((offc & 1) << 4)) & 0xFFFF
     return sym, lc, bad
 
 
@@ -228,12 +237,17 @@ def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
 
     nxt_arr = jnp.stack([jnp.zeros((s, 128), jnp.int32)] + nxt[1:], 0)
     rows16 = _rows(16, s)
+    nprows = (nperm + 1) // 2
+    perm_ref[...] = jnp.where(mask[None], 0, perm_ref[...])
+    rowsP = _rows(nprows, s)
     for sym in range(nsym):
         l = lens_ref[sym]
         has = (l > 0) & mask
         pos = jnp.sum(jnp.where(rows16 == l[None], nxt_arr, 0), axis=0)
-        _scatter(perm_ref, jnp.clip(pos, 0, nperm - 1),
-                 jnp.full((s, 128), sym, jnp.int32), has, nperm, s)
+        pos = jnp.clip(pos, 0, nperm - 1)
+        m = (rowsP == (pos >> 1)[None]) & has[None]
+        half = (sym << ((pos & 1) << 4))[None]
+        perm_ref[...] = jnp.where(m, perm_ref[...] | half, perm_ref[...])
         nxt_arr = nxt_arr + ((rows16 == l[None]) & has[None]).astype(
             jnp.int32)
     return bad_over
@@ -244,8 +258,8 @@ def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
 # no return values compile cleanly; probed on hardware)
 (R_MODE, R_FINAL, R_OUTPOS, R_SREM, R_NLIT, R_NDIST, R_HCLEN, R_IDX,
  R_PREV, R_REP, R_REPVAL, R_DONESTEP, R_WINBASE, R_LO, R_HI, R_NBITS,
- R_BITPOS, R_TOK) = range(18)
-NSTATE = 18
+ R_BITPOS, R_TOK, R_TMPLEN) = range(19)
+NSTATE = 19
 
 
 def _make_kernel(s, max_steps, nflush):
@@ -315,7 +329,7 @@ def _make_kernel(s, max_steps, nflush):
             bitpos, nbits = sv[R_BITPOS], sv[R_NBITS]
             active = sv[R_MODE] < DONE
             wf = (bitpos + nbits) >> 5
-            ck = jnp.clip(wf // CHUNK_WORDS, 0, NCHUNK - 2)
+            ck = jnp.clip(wf // CHUNK_STRIDE, 0, NCHUNK - 1)
             ckx = jnp.where(active, ck, NCHUNK)
             xferv[...] = ckx
             cp = pltpu.make_async_copy(xferv, xfers, sem)
@@ -331,9 +345,6 @@ def _make_kernel(s, max_steps, nflush):
                     pltpu.make_async_copy(
                         x_hbm.at[g, i, c], staging.at[0, si, li],
                         sem).start()
-                    pltpu.make_async_copy(
-                        x_hbm.at[g, i, c + 1], staging.at[1, si, li],
-                        sem).start()
                 return 0
 
             jax.lax.fori_loop(0, lanes, issue, 0)
@@ -347,17 +358,12 @@ def _make_kernel(s, max_steps, nflush):
                     pltpu.make_async_copy(
                         x_hbm.at[g, i, c], staging.at[0, si, li],
                         sem).wait()
-                    pltpu.make_async_copy(
-                        x_hbm.at[g, i, c + 1], staging.at[1, si, li],
-                        sem).wait()
                 return 0
 
             jax.lax.fori_loop(0, lanes, drain, 0)
-            for h in range(2):
-                for si in range(s):
-                    win[h * CHUNK_WORDS:(h + 1) * CHUNK_WORDS, si, :] = \
-                        staging[h, si].T
-            sv[R_WINBASE] = jnp.where(active, ck * CHUNK_WORDS,
+            for si in range(s):
+                win[:, si, :] = staging[0, si].T
+            sv[R_WINBASE] = jnp.where(active, ck * CHUNK_STRIDE,
                                       sv[R_WINBASE])
 
         # ================== handlers (scratch mutators) ==================
@@ -368,7 +374,7 @@ def _make_kernel(s, max_steps, nflush):
                 nlit, ndist = sv[R_NLIT], sv[R_NDIST]
                 hclen, idx = sv[R_HCLEN], sv[R_IDX]
                 prev, rep, repval = sv[R_PREV], sv[R_REP], sv[R_REPVAL]
-                st = load_st()
+                st = refill_buf(load_st())
                 active = mode < DONE
                 mS = active & (mode == BLKSTART)
                 b3 = bits(st[0], z(3))
@@ -522,6 +528,30 @@ def _make_kernel(s, max_steps, nflush):
                                    sv[R_MODE])
 
         def make_body_fn(step):
+            def dist_fn():
+                # second phase, fired only when some lane hit a match
+                tmplen = sv[R_TMPLEN]
+                outpos = sv[R_OUTPOS]
+                mM = (sv[R_MODE] == BODY) & (tmplen > 0)
+                st = refill_buf(load_st())
+                dsym, dlen, dbadc = _decode_canonical(
+                    st[0], of_lim, of_fb, of_perm, 32, s)
+                deb, dbase = _dist_extra(dsym)
+                dextra = bits(_shr(st[0], dlen.astype(U)), deb)
+                dist = dbase + dextra
+                st = consume(st, jnp.where(mM, dlen + deb, 0))
+                badd = mM & (dbadc | (dsym > 29) | (dist > outpos))
+                newout = outpos + tmplen
+                badd = badd | (mM & (newout > OUT_CAP))
+                sv[R_TOK] = jnp.where(
+                    mM & ~badd,
+                    (KIND_MATCH << KIND_SHIFT) | (tmplen - 3)
+                    | ((dist - 1) << 8), sv[R_TOK])
+                sv[R_OUTPOS] = jnp.where(mM & ~badd, newout, outpos)
+                sv[R_MODE] = jnp.where(badd, BAD, sv[R_MODE])
+                sv[R_TMPLEN] = jnp.where(mM, 0, tmplen)
+                store_st(st)
+
             def body_fn():
                 mode = sv[R_MODE]
                 outpos = sv[R_OUTPOS]
@@ -539,25 +569,12 @@ def _make_kernel(s, max_steps, nflush):
                 length = lbase + extra
                 st = consume(st, jnp.where(mB, clen, 0)
                              + jnp.where(is_len, eb, 0))
-                st = refill_buf(st)
-                dsym, dlen, dbadc = _decode_canonical(
-                    st[0], of_lim, of_fb, of_perm, 32, s)
-                deb, dbase = _dist_extra(dsym)
-                dextra = bits(_shr(st[0], dlen.astype(U)), deb)
-                dist = dbase + dextra
-                st = consume(st, jnp.where(is_len, dlen + deb, 0))
-                badb = badb | (is_len & (dbadc | (dsym > 29)
-                                         | (dist > outpos)))
-                newout = outpos + jnp.where(is_lit, 1,
-                                            jnp.where(is_len, length, 0))
-                badb = badb | (mB & (newout > OUT_CAP))
-                tok = jnp.where(
+                newout = outpos + jnp.where(is_lit, 1, 0)
+                badb = badb | (is_lit & (newout > OUT_CAP))
+                sv[R_TOK] = jnp.where(
                     is_lit & ~badb, (KIND_LIT << KIND_SHIFT) | sym,
-                    jnp.where(is_len & ~badb,
-                              (KIND_MATCH << KIND_SHIFT) | (length - 3)
-                              | ((dist - 1) << 8), sv[R_TOK]))
-                sv[R_TOK] = tok
-                sv[R_OUTPOS] = jnp.where(mB & ~badb, newout, outpos)
+                    sv[R_TOK])
+                sv[R_OUTPOS] = jnp.where(is_lit & ~badb, newout, outpos)
                 fin_done = is_eob & (final == 1)
                 mode = jnp.where(is_eob,
                                  jnp.where(final == 1, DONE, BLKSTART),
@@ -565,7 +582,10 @@ def _make_kernel(s, max_steps, nflush):
                 sv[R_DONESTEP] = jnp.where(fin_done, step,
                                            sv[R_DONESTEP])
                 sv[R_MODE] = jnp.where(badb, BAD, mode)
+                mlen = is_len & ~badb
+                sv[R_TMPLEN] = jnp.where(mlen, length, 0)
                 store_st(st)
+                jax.lax.cond(jnp.any(mlen), dist_fn, lambda: None)
 
             return body_fn
 
@@ -604,11 +624,6 @@ def _make_kernel(s, max_steps, nflush):
 
             jax.lax.cond(step % REFILL_EVERY == 0, refill_window,
                          lambda: None)
-
-            def top_refill():
-                store_st(refill_buf(load_st()))
-
-            top_refill()
 
             mode = sv[R_MODE]
             active = mode < DONE
@@ -713,20 +728,20 @@ def _jit_pass1(groups, s, max_steps):
             ],
             scratch_shapes=[
                 pltpu.VMEM((WIN_ROWS, s, 128), jnp.int32),      # win
-                pltpu.VMEM((2, s, 128, CHUNK_WORDS), jnp.int32),  # staging
+                pltpu.VMEM((1, s, 128, CHUNK_WORDS), jnp.int32),  # staging
                 pltpu.VMEM((NSTATE, s, 128), jnp.int32),  # sv (lane state)
                 pltpu.VMEM((288, s, 128), jnp.int32),   # ll_lens
                 pltpu.VMEM((32, s, 128), jnp.int32),    # of_lens
                 pltpu.VMEM((19, s, 128), jnp.int32),    # plens
                 pltpu.VMEM((16, s, 128), jnp.int32),    # ll_lim
                 pltpu.VMEM((16, s, 128), jnp.int32),    # ll_fb
-                pltpu.VMEM((288, s, 128), jnp.int32),   # ll_perm
+                pltpu.VMEM((144, s, 128), jnp.int32),   # ll_perm (packed)
                 pltpu.VMEM((16, s, 128), jnp.int32),    # of_lim
                 pltpu.VMEM((16, s, 128), jnp.int32),    # of_fb
-                pltpu.VMEM((32, s, 128), jnp.int32),    # of_perm
+                pltpu.VMEM((16, s, 128), jnp.int32),    # of_perm (packed)
                 pltpu.VMEM((16, s, 128), jnp.int32),    # pre_lim
                 pltpu.VMEM((16, s, 128), jnp.int32),    # pre_fb
-                pltpu.VMEM((19, s, 128), jnp.int32),    # pre_perm
+                pltpu.VMEM((10, s, 128), jnp.int32),    # pre_perm (packed)
                 pltpu.VMEM((TOK_CHUNK, s, 128), jnp.int32),  # tokbuf
                 pltpu.VMEM((s, 128), jnp.int32),        # xferv
                 pltpu.SMEM((s, 128), jnp.int32),        # xfers
@@ -762,9 +777,9 @@ def _consts(s):
 
     return (bcast(CLCL_ORDER, 19),
             bcast(_S_LL_LIM, 16), bcast(_S_LL_FB, 16),
-            bcast(_S_LL_PERM, 288),
+            bcast(_S_LL_PERM, 144),
             bcast(_S_OF_LIM, 16), bcast(_S_OF_FB, 16),
-            bcast(_S_OF_PERM, 32))
+            bcast(_S_OF_PERM, 16))
 
 
 def decode_tokens_device(streams: list[bytes], s: int = 1,
@@ -794,8 +809,12 @@ def decode_tokens_device(streams: list[bytes], s: int = 1,
         if pad:
             arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
         w = arr.view("<i4")
-        flat = words[g, lane].reshape(-1)
+        # overlapped layout: chunk j = words [j*STRIDE, j*STRIDE+CHUNK)
+        flat = np.zeros(NCHUNK * CHUNK_STRIDE + CHUNK_WORDS, np.int32)
         flat[:len(w)] = w
+        strided = np.lib.stride_tricks.as_strided(
+            flat, (NCHUNK, CHUNK_WORDS), (4 * CHUNK_STRIDE, 4))
+        words[g, lane] = strided
 
     order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb, sof_perm = \
         _consts(s)

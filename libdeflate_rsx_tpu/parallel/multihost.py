@@ -106,3 +106,89 @@ def global_sizes(local_total: int) -> np.ndarray:
         NamedSharding(mesh, P(AXIS)), vals)
     out = np.asarray(fn(garr))          # (n_devices,) per-device totals
     return out.reshape(nproc, per_dev).sum(axis=1)
+
+
+def _host_slices(total_len: int, block_size: int) -> list[tuple[int, int]]:
+    """Contiguous per-host byte ranges, aligned to block_size so blocks
+    never straddle hosts. Deterministic on every host."""
+    n = jax.process_count()
+    nblocks = max(1, -(-total_len // block_size))
+    per = -(-nblocks // n)
+    out = []
+    for p in range(n):
+        lo = min(p * per * block_size, total_len)
+        hi = min((p + 1) * per * block_size, total_len)
+        out.append((lo, hi))
+    return out
+
+
+def compress_global(data: bytes, format: str = "gzip",
+                    block_size: int = 65536) -> bytes:
+    """One byte-exact global container across hosts (VERDICT round-2
+    item 5; SURVEY.md section 2 'Distributed communication backend').
+
+    Each host compresses its contiguous block-aligned slice of `data`
+    on its local chips (non-final SYNC-joined blocks except the global
+    tail), then the per-host compressed payloads, sizes, and checksum
+    registers are all-gathered over DCN; every host assembles the
+    identical gzip/zlib/deflate stream and combines the checksum
+    registers with the associative crc32/adler32 algebra
+    (ops/checksum_math.py) instead of re-hashing payload bytes.
+    """
+    from jax.experimental import multihost_utils
+
+    from .. import containers
+    from ..engine import adler32 as adler32_h
+    from ..engine import crc32 as crc32_h
+    from ..ops.checksum_math import adler32_combine, crc32_combine
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    slices = _host_slices(len(data), block_size)
+    lo, hi = slices[pid]
+    my = data[lo:hi]
+    is_last = pid == nproc - 1 or slices[pid + 1][0] >= len(data)
+
+    sc = ShardedCompressor(stream_mesh(jax.local_devices()),
+                           block_size=block_size)
+    if my:
+        payload = sc.compress(my, "deflate", final=is_last)
+    else:
+        # empty shard on this host; the global tail owner emits the
+        # final empty block if the whole input is empty
+        payload = b""
+    if pid == 0 and not data:
+        payload = sc.compress(b"", "deflate", final=True)
+
+    crc = crc32_h(my) if format == "gzip" else 0
+    adl = adler32_h(my) if format == "zlib" else 1
+
+    # ---- DCN all-gathers: payload bytes + (size, crc, adler, len)
+    meta = np.array([len(payload), crc, adl, len(my)], np.int64)
+    metas = np.asarray(multihost_utils.process_allgather(meta))
+    if metas.ndim == 1:
+        metas = metas[None]
+    pad = int(metas[:, 0].max())
+    buf = np.zeros(pad if pad else 1, np.uint8)
+    if payload:
+        buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+    bufs = np.asarray(multihost_utils.process_allgather(buf))
+    if bufs.ndim == 1:
+        bufs = bufs[None]
+
+    body = b"".join(bufs[p, :int(metas[p, 0])].tobytes()
+                    for p in range(nproc))
+    if format == "deflate":
+        return body
+    if format == "zlib":
+        adler = 1
+        for p in range(nproc):
+            adler = adler32_combine(adler, int(metas[p, 2]),
+                                    int(metas[p, 3]))
+        return (containers.zlib_header(1) + body
+                + containers.zlib_footer(adler))
+    gcrc = 0
+    for p in range(nproc):
+        gcrc = crc32_combine(gcrc, int(metas[p, 1]), int(metas[p, 3]))
+    return (containers.gzip_header(1) + body
+            + containers.gzip_footer(gcrc, len(data)))

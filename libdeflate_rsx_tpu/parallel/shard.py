@@ -183,10 +183,21 @@ class ShardedCompressor:
             data, self.block_size, out[:5], valids, finals, num)
         return b"".join(parts)
 
-    def compress(self, data: bytes, format: str = "deflate") -> bytes:
-        """Compress one buffer, blocks sharded across every chip."""
+    def compress(self, data: bytes, format: str = "deflate",
+                 final: bool = True) -> bytes:
+        """Compress one buffer, blocks sharded across every chip.
+
+        final=False emits the last real block as a non-final SYNC-joined
+        block (byte-aligned), so streams from successive shards
+        concatenate into one valid DEFLATE stream - the multi-host
+        ordered-gather building block (only raw deflate supports it).
+        """
+        if not final and format != "deflate":
+            raise ValueError("final=False requires format='deflate'")
         blocks, valids, finals, num = shard_blocks(
             data, self.block_size, self.n_devices)
+        if not final:
+            finals[:num] = False
         if self.tier == "dynamic":
             from ..models.greedy_dynamic import apply_stored_fallback
             parts = self._run_dynamic(blocks, valids, finals)[:num]

@@ -36,10 +36,22 @@ for d, o in zip(local, outs):
 # the DCN collective: global per-host compressed totals
 local_total = sum(len(o) for o in outs)
 sizes = mh.global_sizes(local_total)
+
+# ordered payload gather: every host must emit the IDENTICAL,
+# externally-valid global gzip container (round-2 VERDICT item 5)
+import gzip, hashlib
+gdata = bytes([7 * i % 251 for i in range(300_000)]) + b"tail" * 999
+gout = mh.compress_global(gdata, "gzip", block_size=65536)
+assert gzip.decompress(gout) == gdata
+zout = mh.compress_global(gdata, "zlib", block_size=65536)
+assert zlib.decompress(zout) == gdata
 print(json.dumps({"pid": pid,
                   "n_local": len(outs),
                   "local_total": local_total,
-                  "global_sizes": [int(s) for s in sizes]}), flush=True)
+                  "global_sizes": [int(s) for s in sizes],
+                  "gzip_sha": hashlib.sha256(gout).hexdigest(),
+                  "zlib_sha": hashlib.sha256(zout).hexdigest()}),
+      flush=True)
 """
 
 
@@ -83,3 +95,7 @@ def test_two_process_distributed_compress():
     g0, g1 = results[0]["global_sizes"], results[1]["global_sizes"]
     assert g0 == g1
     assert g0 == [results[0]["local_total"], results[1]["local_total"]]
+    # both hosts emitted the byte-identical global containers (each
+    # worker already verified external decodability)
+    assert results[0]["gzip_sha"] == results[1]["gzip_sha"]
+    assert results[0]["zlib_sha"] == results[1]["zlib_sha"]
