@@ -198,8 +198,6 @@ class BatchDecompressor:
         return data[start:len(data) - 8], verify_gzip
 
     def _decompress_batch_device(self, jobs) -> list:
-        from .ops.pallas.inflate_v2 import IN_WORDS, inflate_device
-
         payloads, verifies, caps = [], [], []
         for data, cap in jobs:
             try:
@@ -209,11 +207,25 @@ class BatchDecompressor:
             payloads.append(payload)
             verifies.append(verify)
             caps.append(cap)
-        try:
-            decoded = inflate_device(
-                [p if p else b"" for p in payloads])
-        except Exception:
-            decoded = [None] * len(payloads)
+        clean = [p if p else b"" for p in payloads]
+        decoded = None
+        if len(jobs) >= 8:
+            # lockstep two-pass decoder: entropy decode for the whole
+            # batch rides VPU lanes in one kernel; LZ resolution in C
+            from .ops.pallas.inflate_tokens import (
+                inflate_device_tokens, steps_for_caps)
+            try:
+                decoded = inflate_device_tokens(
+                    clean, max_steps=steps_for_caps(
+                        [min(c, 65536) for c in caps]))
+            except Exception:
+                decoded = None
+        if decoded is None:
+            from .ops.pallas.inflate_v2 import inflate_device
+            try:
+                decoded = inflate_device(clean)
+            except Exception:
+                decoded = [None] * len(payloads)
         out = []
         for (data, cap), payload, verify, dec in zip(
                 jobs, payloads, verifies, decoded):

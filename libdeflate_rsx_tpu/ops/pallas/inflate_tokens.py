@@ -201,6 +201,20 @@ def _store_row(ref, row, val, n, s):
                              ref[...])
 
 
+def _nibble_write(ref, pos, val, mask, nrows, s):
+    """Masked per-lane write of a 4-bit code length into a packed row
+    (8 lengths per int32). Target nibbles are pre-zeroed and written at
+    most once, so OR suffices."""
+    m = (_rows(nrows, s) == (pos >> 3)[None]) & mask[None]
+    ref[...] = jnp.where(m, ref[...] | (val << ((pos & 7) * 4))[None],
+                         ref[...])
+
+
+def _nib(packed_row, sym):
+    """Code length of `sym` from its packed row (static shift)."""
+    return (packed_row >> ((sym & 7) * 4)) & 15
+
+
 def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
                      nperm=None):
     """Masked in-kernel canonical-code construction from code lengths.
@@ -213,10 +227,15 @@ def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
     in table layout - this decoder needs no tables beyond lim/fb/perm.
     """
     nperm = nsym if nperm is None else nperm
-    lens = lens_ref[...][:nsym]
+    nrows = (nsym + 7) // 8
+    packed = lens_ref[...][:nrows]
+    nibs = [(packed >> (4 * k)) & 15 for k in range(8)]
     cnts = [jnp.zeros((s, 128), jnp.int32)]
     for l in range(1, 16):
-        cnts.append(jnp.sum((lens == l).astype(jnp.int32), axis=0))
+        tot = jnp.zeros((s, 128), jnp.int32)
+        for k in range(8):
+            tot = tot + jnp.sum((nibs[k] == l).astype(jnp.int32), axis=0)
+        cnts.append(tot)
     kraft = jnp.zeros((s, 128), jnp.int32)
     for l in range(1, 16):
         kraft = kraft + (cnts[l] << (15 - l))
@@ -241,7 +260,7 @@ def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
     perm_ref[...] = jnp.where(mask[None], 0, perm_ref[...])
     rowsP = _rows(nprows, s)
     for sym in range(nsym):
-        l = lens_ref[sym]
+        l = _nib(lens_ref[sym >> 3], sym)
         has = (l > 0) & mask
         pos = jnp.sum(jnp.where(rows16 == l[None], nxt_arr, 0), axis=0)
         pos = jnp.clip(pos, 0, nperm - 1)
@@ -449,7 +468,7 @@ def _make_kernel(s, max_steps, nflush):
                 mP = active & (mode == PRELEN) & ~mS
                 v3 = bits(st[0], z(3))
                 oidx = _gather(order_ref, jnp.clip(idx, 0, 18), 19, s)
-                _scatter(plens, oidx, v3, mP, 19, s)
+                _nibble_write(plens, oidx, v3, mP, 3, s)
                 st = consume(st, jnp.where(mP, 3, 0))
                 idx = jnp.where(mP, idx + 1, idx)
                 mPd = mP & (idx >= hclen)
@@ -492,10 +511,10 @@ def _make_kernel(s, max_steps, nflush):
                                & (idx + newrep > nlit + ndist))
                 wval = jnp.where(elit, sym, repval)
                 wmask = elit | drain2
-                _scatter(ll_lens, jnp.clip(idx, 0, 287), wval,
-                         wmask & (idx < nlit), 288, s)
-                _scatter(of_lens, jnp.clip(idx - nlit, 0, 31), wval,
-                         wmask & (idx >= nlit), 32, s)
+                _nibble_write(ll_lens, jnp.clip(idx, 0, 287), wval,
+                              wmask & (idx < nlit), 36, s)
+                _nibble_write(of_lens, jnp.clip(idx - nlit, 0, 31), wval,
+                              wmask & (idx >= nlit), 4, s)
                 idx = jnp.where(wmask, idx + 1, idx)
                 rep = jnp.where(drain2, rep - 1,
                                 jnp.where(dec, newrep, rep))
@@ -628,8 +647,14 @@ def _make_kernel(s, max_steps, nflush):
             mode = sv[R_MODE]
             active = mode < DONE
             in_hdr = active & (mode <= LENS)
-            jax.lax.cond(jnp.any(in_hdr), make_hdr_fn(step),
-                         lambda: None)
+            # batch header work like the table build: header-phase lanes
+            # stall until a quorum gathers (or nothing else runs), so
+            # the header handler's big scatters stay off the common path
+            nH = jnp.sum(in_hdr.astype(I))
+            nRun = jnp.sum(((mode == BODY) | (mode == STORED)
+                            ).astype(I))
+            fire_hdr = (nH > 0) & ((nH >= lanes // 4) | (nRun == 0))
+            jax.lax.cond(fire_hdr, make_hdr_fn(step), lambda: None)
 
             mode = sv[R_MODE]
             mW = mode == AWAITBUILD
@@ -730,9 +755,9 @@ def _jit_pass1(groups, s, max_steps):
                 pltpu.VMEM((WIN_ROWS, s, 128), jnp.int32),      # win
                 pltpu.VMEM((1, s, 128, CHUNK_WORDS), jnp.int32),  # staging
                 pltpu.VMEM((NSTATE, s, 128), jnp.int32),  # sv (lane state)
-                pltpu.VMEM((288, s, 128), jnp.int32),   # ll_lens
-                pltpu.VMEM((32, s, 128), jnp.int32),    # of_lens
-                pltpu.VMEM((19, s, 128), jnp.int32),    # plens
+                pltpu.VMEM((36, s, 128), jnp.int32),    # ll_lens (4b x8)
+                pltpu.VMEM((4, s, 128), jnp.int32),     # of_lens (4b x8)
+                pltpu.VMEM((3, s, 128), jnp.int32),     # plens (4b x8)
                 pltpu.VMEM((16, s, 128), jnp.int32),    # ll_lim
                 pltpu.VMEM((16, s, 128), jnp.int32),    # ll_fb
                 pltpu.VMEM((144, s, 128), jnp.int32),   # ll_perm (packed)
@@ -782,19 +807,13 @@ def _consts(s):
             bcast(_S_OF_PERM, 16))
 
 
-def decode_tokens_device(streams: list[bytes], s: int = 1,
-                         max_steps: int = 72 * 1024):
-    """Pass 1 on device: list of raw-DEFLATE streams -> per-stream
-    (token_column int32 array | None, expected_outlen).
-
-    Streams over the input cap or that the kernel flags yield None.
-    """
+def pack_streams(streams: list[bytes], s: int = 1):
+    """Build the kernel's input arrays: per-lane bit lengths and the
+    overlapped-chunk word layout (chunk j = words [j*STRIDE,
+    j*STRIDE+CHUNK)). Returns (inbits, words, ok_flags, groups)."""
     n = len(streams)
-    if n == 0:
-        return []
     lanes = s * 128
-    groups = -(-n // lanes)
-    total = groups * lanes
+    groups = max(1, -(-n // lanes))
     words = np.zeros((groups, lanes, NCHUNK, CHUNK_WORDS), np.int32)
     inbits = np.zeros((groups, s, 128), np.int32)
     ok = [True] * n
@@ -809,12 +828,26 @@ def decode_tokens_device(streams: list[bytes], s: int = 1,
         if pad:
             arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
         w = arr.view("<i4")
-        # overlapped layout: chunk j = words [j*STRIDE, j*STRIDE+CHUNK)
         flat = np.zeros(NCHUNK * CHUNK_STRIDE + CHUNK_WORDS, np.int32)
         flat[:len(w)] = w
         strided = np.lib.stride_tricks.as_strided(
             flat, (NCHUNK, CHUNK_WORDS), (4 * CHUNK_STRIDE, 4))
         words[g, lane] = strided
+    return inbits, words, ok, groups
+
+
+def decode_tokens_device(streams: list[bytes], s: int = 1,
+                         max_steps: int = 72 * 1024):
+    """Pass 1 on device: list of raw-DEFLATE streams -> per-stream
+    (token_column int32 array | None, expected_outlen).
+
+    Streams over the input cap or that the kernel flags yield None.
+    """
+    n = len(streams)
+    if n == 0:
+        return []
+    lanes = s * 128
+    inbits, words, ok, groups = pack_streams(streams, s)
 
     order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb, sof_perm = \
         _consts(s)
@@ -839,6 +872,20 @@ def decode_tokens_device(streams: list[bytes], s: int = 1,
         col = np.ascontiguousarray(toks[g, :, lane])
         out.append((col, int(stats[g, 1, si, li])))
     return out
+
+
+_STEP_BUCKETS = (1024, 4096, 16384, 72 * 1024)
+
+
+def steps_for_caps(caps) -> int:
+    """Step budget bucket for a batch (bucketed to bound jit variants).
+    Tokens per stream are bounded by output bytes + header/stall slack;
+    streams that exceed the budget report not-DONE and fall back."""
+    need = max([c for c in caps] or [0]) + 8192
+    for b in _STEP_BUCKETS:
+        if need <= b:
+            return b
+    return _STEP_BUCKETS[-1]
 
 
 def inflate_device_tokens(streams: list[bytes], s: int = 1,

@@ -6,6 +6,8 @@ TPU-native replacement for the reference's rayon thread-pool parallelism
 offload stub (reference src/batch_cuda.rs).
 """
 
-from .shard import AXIS, ShardedCompressor, shard_blocks, stream_mesh
+from .shard import (AXIS, ShardedCompressor, ShardedDecompressor,
+                    shard_blocks, stream_mesh)
 
-__all__ = ["AXIS", "ShardedCompressor", "shard_blocks", "stream_mesh"]
+__all__ = ["AXIS", "ShardedCompressor", "ShardedDecompressor",
+           "shard_blocks", "stream_mesh"]

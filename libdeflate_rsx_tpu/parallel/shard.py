@@ -280,3 +280,80 @@ class ShardedCompressor:
                 valids[start:start + num], finals[start:start + num], num)
             results.append(b"".join(parts))
         return results
+
+
+class ShardedDecompressor:
+    """Data-parallel batch DEFLATE decode over a mesh.
+
+    Stream groups (128 lanes each) of the lockstep two-pass decoder
+    (ops/pallas/inflate_tokens.py) are sharded across the "streams"
+    mesh axis with shard_map: each chip entropy-decodes its groups in
+    lockstep, tokens return to the host, and LZ resolution runs through
+    the native C resolver. The multi-chip analog of the reference's
+    per-thread batch decompression (reference src/batch.rs:74-101).
+    """
+
+    def __init__(self, mesh: Mesh | None = None,
+                 max_steps: int = 72 * 1024) -> None:
+        self.mesh = mesh if mesh is not None else stream_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.max_steps = max_steps
+
+    def decompress_batch(self, streams: list[bytes]) -> list:
+        from ..ops.pallas import inflate_tokens as it
+
+        n = len(streams)
+        if n == 0:
+            return []
+        lanes = 128
+        inbits, words, ok, groups = it.pack_streams(streams, 1)
+        # pad groups to a multiple of the mesh size
+        gpad = _round_up(groups, self.n_devices)
+        if gpad > groups:
+            pad = gpad - groups
+            inbits = np.concatenate(
+                [inbits, np.zeros((pad,) + inbits.shape[1:], np.int32)])
+            words = np.concatenate(
+                [words, np.zeros((pad,) + words.shape[1:], np.int32)])
+        per_dev = gpad // self.n_devices
+        consts = it._consts(1)
+        run = it._jit_pass1(per_dev, 1, self.max_steps)
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        repl = NamedSharding(self.mesh, P())
+
+        def shard_fn(ib, *rest):
+            return run(ib, *rest)
+
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(AXIS),) + (P(),) * len(consts) + (P(AXIS),),
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+        toks_dev, stats_dev = fn(
+            jax.device_put(jnp.asarray(inbits), sharding),
+            *[jax.device_put(c, repl) for c in consts],
+            jax.device_put(jnp.asarray(words), sharding))
+        stats = np.asarray(stats_dev)
+        laststep = int(stats[:, 4].max())
+        nrows = min(-(-max(laststep, 1) // it.TOK_CHUNK),
+                    self.max_steps // it.TOK_CHUNK)
+        toks = np.asarray(toks_dev[:, :nrows])
+        toks = toks.reshape(gpad, nrows * it.TOK_CHUNK, lanes)
+
+        from ..native.host import native_resolve_tokens
+        from ..ops.tokens import resolve_tokens_np
+        out = []
+        for i in range(n):
+            g, lane = i // lanes, i % lanes
+            if not ok[i] or stats[g, 0, 0, lane] != it.DONE:
+                out.append(None)
+                continue
+            outlen = int(stats[g, 1, 0, lane])
+            col = np.ascontiguousarray(toks[g, :, lane])
+            try:
+                got = native_resolve_tokens(col, outlen)
+            except LookupError:
+                got = resolve_tokens_np(col, outlen)
+            if got is not None and len(got) != outlen:
+                got = None
+            out.append(got)
+        return out
