@@ -395,52 +395,50 @@ def main() -> None:
                 "zlib6_ratio": round(
                     len(tdata) / len(zlib.compress(tdata, 6)), 3)})
 
-        # batch decode: table-driven Pallas kernel, device-resident.
-        # TWO input sets alternate inside the loop — a loop-invariant
-        # kernel call would be hoisted by XLA and time nothing.
-        from libdeflate_rsx_tpu.ops.pallas import inflate_v2 as iv
+        # batch decode: lockstep two-pass decoder (pass-1 entropy decode
+        # on device; ops/pallas/inflate_tokens.py). TWO input sets
+        # alternate inside the loop so XLA cannot hoist the kernel.
+        # 16x64KB keeps round-2 comparability (only 16 of 128 VPU lanes
+        # occupied); 128x64KB is the decoder's design batch.
+        from libdeflate_rsx_tpu.ops.pallas import inflate_tokens as itk
         chunks = [pattern(BLOCK - 1024, seed=i) for i in range(16)]
         comps = [zlib.compress(c, 6)[2:-4] for c in chunks]
-        outs = iv.inflate_device(comps)
+        outs = itk.inflate_device_tokens(comps)
         assert all(o == c for o, c in zip(outs, chunks))
-        b = len(comps)
 
-        def pack_comps(cs):
-            lens = np.zeros(b, np.int32)
-            words = np.zeros((b, iv.IN_WORDS), np.int32)
-            for i, sbuf in enumerate(cs):
-                lens[i] = len(sbuf)
-                arr8 = np.frombuffer(sbuf, np.uint8)
-                pad = (-len(arr8)) % 4
-                if pad:
-                    arr8 = np.concatenate(
-                        [arr8, np.zeros(pad, np.uint8)])
-                words[i, : len(arr8) // 4] = arr8.view("<i4")
-            return jnp.asarray(lens), jnp.asarray(words)
+        def dec_row(name, n_streams):
+            cs = [pattern(BLOCK - 1024, seed=i) for i in range(n_streams)]
+            za = [zlib.compress(c, 6)[2:-4] for c in cs]
+            zb = [zlib.compress(pattern(BLOCK - 1024, seed=500 + i),
+                                6)[2:-4] for i in range(n_streams)]
+            ia, wa_, _, _ = itk.pack_streams(za, 1)
+            ib_, wb_, _, _ = itk.pack_streams(zb, 1)
+            consts = itk._consts(1)
+            run = itk._jit_pass1(max(1, -(-n_streams // 128)), 1,
+                                 72 * 1024)
+            ja, jwa = jnp.asarray(ia[0]), jnp.asarray(wa_[0])
+            jb, jwb = jnp.asarray(ib_[0]), jnp.asarray(wb_[0])
 
-        jl, jw = pack_comps(comps)
-        comps_b = [zlib.compress(pattern(BLOCK - 1024, seed=100 + i),
-                                 6)[2:-4] for i in range(16)]
-        jl2, jw2 = pack_comps(comps_b)
-        raw = iv._jit_inflate(b)
+            @jax.jit
+            def probe_dec(la_, wa2, lb_, wb2):
+                def body(i, acc):
+                    l_ = jnp.where(i % 2 == 0, la_, lb_)
+                    w_ = jnp.where(i % 2 == 0, wa2, wb2)
+                    toks, stats = run(l_[None], *consts, w_[None])
+                    return acc + stats[:, 1].sum() + toks[0, 0, 0, 0, 0]
+                return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
-        @jax.jit
-        def probe_dec(la_, wa_, lb_, wb_):
-            def body(i, acc):
-                l_ = jnp.where(i % 2 == 0, la_, lb_)
-                w_ = jnp.where(i % 2 == 0, wa_, wb_)
-                o = raw(l_, w_)
-                return acc + o[:, 0, iv.OUT_WORDS - 1].sum()
-            return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
+            int(probe_dec(ja, jwa, jb, jwb))
+            secs = max(
+                best_of(lambda: int(probe_dec(ja, jwa, jb, jwb))) - 0.03,
+                1e-9) / K_DEV
+            tot2 = sum(len(c) for c in cs)
+            zsecs2 = timeit(lambda xs: [zlib.decompress(c, -15)
+                                        for c in xs], za)
+            rec("device", name, tot2, secs, zsecs2)
 
-        int(probe_dec(jl, jw, jl2, jw2))
-        secs = max(
-            best_of(lambda: int(probe_dec(jl, jw, jl2, jw2))) - 0.03,
-            1e-9) / K_DEV
-        tot = sum(len(c) for c in chunks)
-        zsecs = timeit(lambda cs: [zlib.decompress(c, -15) for c in cs],
-                       comps)
-        rec("device", "decompress/16x64KB/sustained", tot, secs, zsecs)
+        dec_row("decompress/16x64KB/sustained", 16)
+        dec_row("decompress/128x64KB/sustained", 128)
 
         from libdeflate_rsx_tpu.ops import checksums as dcs
 

@@ -653,7 +653,11 @@ def _make_kernel(s, max_steps, nflush):
             nH = jnp.sum(in_hdr.astype(I))
             nRun = jnp.sum(((mode == BODY) | (mode == STORED)
                             ).astype(I))
-            fire_hdr = (nH > 0) & ((nH >= lanes // 4) | (nRun == 0))
+            # periodic drain bounds the stall a lane can accumulate
+            # waiting for quorum (divergent lanes reach headers at
+            # different steps)
+            fire_hdr = (nH > 0) & ((nH >= lanes // 8) | (nRun == 0)
+                                   | (step % 8 == 0))
             jax.lax.cond(fire_hdr, make_hdr_fn(step), lambda: None)
 
             mode = sv[R_MODE]
