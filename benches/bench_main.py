@@ -224,6 +224,25 @@ def main() -> None:
         zsecs = timeit(lambda c: zlib.decompress(c, -15), comp)
         rec("stream", "decode/2MB/level6", len(data), secs, zsecs)
 
+        class _NonSeekable:
+            """Socket-like reader: no seekable(), so the decoder must
+            ride the resumable engine, not the whole-stream fast path"""
+            def __init__(self, buf):
+                self._b, self._p = buf, 0
+
+            def read(self, n):
+                out = self._b[self._p:self._p + n]
+                self._p += len(out)
+                return out
+
+        def stream_decode_ns(c):
+            return ld.DeflateDecoder(_NonSeekable(c)).read()
+
+        assert stream_decode_ns(comp) == data
+        secs = timeit(stream_decode_ns, comp)
+        rec("stream", "decode-nonseekable/2MB/level6", len(data), secs,
+            zsecs)
+
     # -- Silesia-like corpus (BASELINE.md headline metric) --------------------
     if not args.no_silesia and not args.only_device:
         members = corpus_files(args.quick)

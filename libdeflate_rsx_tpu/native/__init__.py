@@ -136,6 +136,16 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
         lib.dyn_tables_c.restype = ctypes.c_int64
+        lib.icx_size.argtypes = []
+        lib.icx_size.restype = ctypes.c_int64
+        lib.icx_init.argtypes = [ctypes.c_void_p]
+        lib.icx_init.restype = None
+        lib.icx_step.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.icx_step.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None

@@ -2055,3 +2055,301 @@ int64_t resolve_tokens_c(const int32_t *toks, int64_t ntoks,
     }
     return op - out;
 }
+
+/* ------------------------------------------------------------------ */
+/* Resumable streaming decoder — native analog of the Python Inflater  */
+/* (models/portable/inflate.py) for non-seekable readers: bit-level    */
+/* state, per-symbol input suspend, mid-match output suspend, own      */
+/* 32 KiB ring window so callers never re-present history. Mirrors the */
+/* reference's resumable state machine (reference                      */
+/* src/decompress/mod.rs:213-353) re-derived from the portable engine. */
+/* Status: 0 done, 1 short input, 2 insufficient space, -1 bad data.   */
+/* ------------------------------------------------------------------ */
+
+#define ICX_BLKSTART 0
+#define ICX_STORED 1
+#define ICX_BODY 2
+#define ICX_MATCH 3
+#define ICX_DONE 4
+
+typedef struct {
+    uint64_t bitbuf;
+    int32_t bitcnt;
+    int32_t state;
+    int32_t final_blk;
+    int32_t stored_rem;
+    int32_t match_len;
+    int32_t match_dist;
+    int64_t total_out;
+    uint32_t wpos;            /* ring write position (mod 32768) */
+    int32_t pad_;
+    uint8_t window[1 << 15];
+    int32_t ll_tab[1 << 15];
+    int32_t of_tab[1 << 12];
+} ICtx;
+
+int64_t icx_size(void) { return (int64_t)sizeof(ICtx); }
+
+void icx_init(void *p) {
+    ICtx *c = (ICtx *)p;
+    memset(c, 0, offsetof(ICtx, window));
+}
+
+int icx_finished(const void *p) {
+    return ((const ICtx *)p)->state == ICX_DONE;
+}
+
+static inline void icx_put(ICtx *c, uint8_t *dst, uint8_t b) {
+    *dst = b;
+    c->window[c->wpos & 32767] = b;
+    c->wpos++;
+    c->total_out++;
+}
+
+/* checked refill that never reads past `end` */
+static inline void icx_refill(BitR *r) {
+    while (r->n <= 56 && r->in < r->end) {
+        r->buf |= (uint64_t)(*r->in++) << r->n;
+        r->n += 8;
+    }
+}
+
+int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
+                 uint8_t *out, int64_t out_cap,
+                 int64_t *in_used, int64_t *out_written) {
+    ICtx *c = (ICtx *)p;
+    BitR r = {in, in + in_len, c->bitbuf, c->bitcnt};
+    uint8_t *op = out, *oend = out + out_cap;
+    int64_t rc = 1;   /* default: short input */
+
+#define ICX_SAVE_RET(code) do { \
+        c->bitbuf = r.buf; c->bitcnt = r.n; \
+        *in_used = r.in - in; *out_written = op - out; \
+        return (code); } while (0)
+#define ICX_RESTORE_RET(code) do { \
+        c->bitbuf = snap_buf; c->bitcnt = snap_n; \
+        *in_used = snap_in - in; *out_written = op - out; \
+        return (code); } while (0)
+
+    for (;;) {
+        if (c->state == ICX_DONE) {
+            /* give back whole bytes still in the bit buffer so the
+             * consumed count lands exactly at the stream end */
+            int back = r.n >> 3;
+            c->bitbuf = r.buf & ((back < 8) ? ((1ull << (r.n & 7)) - 1)
+                                            : ~0ull);
+            c->bitcnt = r.n & 7;
+            *in_used = (r.in - in) - back;
+            *out_written = op - out;
+            return 0;
+        }
+        if (c->state == ICX_MATCH) {
+            int32_t dist = c->match_dist;
+            /* bulk path: word copies straight through the ring when
+             * neither source nor destination range wraps and the
+             * overlap period is >= 8 */
+            for (;;) {
+                /* bulk region leaves 8 bytes of slack on every range
+                 * (out, ring src, ring dst) so 8-wide stores may
+                 * overshoot; ring overshoot lands on future positions
+                 * that are always rewritten before becoming readable */
+                int64_t n = c->match_len;
+                uint32_t soff = (c->wpos - (uint32_t)dist) & 32767;
+                uint32_t doff = c->wpos & 32767;
+                if (n > (oend - op) - 8) n = (oend - op) - 8;
+                if (n > 32768 - 8 - (int64_t)soff)
+                    n = 32768 - 8 - (int64_t)soff;
+                if (n > 32768 - 8 - (int64_t)doff)
+                    n = 32768 - 8 - (int64_t)doff;
+                if (n >= 8 && dist >= 8) {
+                    uint8_t *srcw = c->window + soff;
+                    uint8_t *dstw = c->window + doff;
+                    for (int64_t k = 0; k < n; k += 8) {
+                        memcpy(dstw + k, srcw + k, 8);
+                        memcpy(op + k, srcw + k, 8);
+                    }
+                    op += n;
+                    c->wpos += (uint32_t)n;
+                    c->total_out += n;
+                    c->match_len -= (int32_t)n;
+                } else {
+                    while (c->match_len > 0 && op < oend) {
+                        uint8_t b =
+                            c->window[(c->wpos - (uint32_t)dist) & 32767];
+                        icx_put(c, op++, b);
+                        c->match_len--;
+                    }
+                }
+                if (c->match_len == 0) break;
+                if (op >= oend) ICX_SAVE_RET(2);
+            }
+            c->state = ICX_BODY;
+            continue;
+        }
+        if (c->state == ICX_STORED) {
+            while (c->stored_rem > 0 && r.n >= 8) {
+                if (op >= oend) ICX_SAVE_RET(2);
+                icx_put(c, op++, (uint8_t)br_bits(&r, 8));
+                br_consume(&r, 8);
+                c->stored_rem--;
+            }
+            while (c->stored_rem > 0 && r.in < r.end) {
+                if (op >= oend) ICX_SAVE_RET(2);
+                icx_put(c, op++, *r.in++);
+                c->stored_rem--;
+            }
+            if (c->stored_rem > 0) ICX_SAVE_RET(1);
+            c->state = c->final_blk ? ICX_DONE : ICX_BLKSTART;
+            continue;
+        }
+        if (c->state == ICX_BLKSTART) {
+            const uint8_t *snap_in = r.in;
+            uint64_t snap_buf = r.buf;
+            int snap_n = r.n;
+            icx_refill(&r);
+            if (r.n < 3) ICX_RESTORE_RET(1);
+            uint32_t hdr = br_bits(&r, 3);
+            br_consume(&r, 3);
+            c->final_blk = (int32_t)(hdr & 1);
+            int btype = (int)(hdr >> 1);
+            if (btype == 3) ICX_SAVE_RET(-1);
+            if (btype == 0) {
+                br_consume(&r, r.n & 7);
+                icx_refill(&r);
+                if (r.n < 32) ICX_RESTORE_RET(1);
+                uint32_t len = br_bits(&r, 16); br_consume(&r, 16);
+                uint32_t nlen = br_bits(&r, 16); br_consume(&r, 16);
+                if (len != (~nlen & 0xFFFF)) ICX_SAVE_RET(-1);
+                c->stored_rem = (int32_t)len;
+                c->state = len ? ICX_STORED
+                               : (c->final_blk ? ICX_DONE : ICX_BLKSTART);
+                continue;
+            }
+            uint8_t dll[NUM_LITLEN], dof[NUM_OFFSET];
+            if (btype == 1) {
+                static_lens(dll, dof);
+            } else {
+                icx_refill(&r);
+                if (r.n < 14) ICX_RESTORE_RET(1);
+                int num_ll = (int)br_bits(&r, 5) + 257; br_consume(&r, 5);
+                int num_of = (int)br_bits(&r, 5) + 1; br_consume(&r, 5);
+                int ne = (int)br_bits(&r, 4) + 4; br_consume(&r, 4);
+                if (num_ll > 286 || num_of > 30) ICX_SAVE_RET(-1);
+                uint8_t plens[NUM_PRECODE] = {0};
+                for (int k = 0; k < ne; k++) {
+                    icx_refill(&r);
+                    if (r.n < 3) ICX_RESTORE_RET(1);
+                    plens[PRE_PERM[k]] = (uint8_t)br_bits(&r, 3);
+                    br_consume(&r, 3);
+                }
+                int32_t ptab[1 << 7];
+                if (build_table(plens, NUM_PRECODE, 7, ptab))
+                    ICX_SAVE_RET(-1);
+                uint8_t all[NUM_LITLEN + NUM_OFFSET];
+                int tot = num_ll + num_of, i = 0;
+                while (i < tot) {
+                    icx_refill(&r);
+                    int32_t e = ptab[br_bits(&r, 7)];
+                    int l = e & 0xF;
+                    if (!l) ICX_SAVE_RET(-1);
+                    if (l > r.n) ICX_RESTORE_RET(1);
+                    int sym = e >> 4;
+                    if (sym <= 15) {
+                        br_consume(&r, l);
+                        all[i++] = (uint8_t)sym;
+                    } else if (sym == 16) {
+                        if (i == 0) ICX_SAVE_RET(-1);
+                        if (l + 2 > r.n) ICX_RESTORE_RET(1);
+                        br_consume(&r, l);
+                        int rep = 3 + (int)br_bits(&r, 2);
+                        br_consume(&r, 2);
+                        if (i + rep > tot) ICX_SAVE_RET(-1);
+                        for (int q = 0; q < rep; q++) {
+                            all[i] = all[i - 1];
+                            i++;
+                        }
+                    } else if (sym == 17) {
+                        if (l + 3 > r.n) ICX_RESTORE_RET(1);
+                        br_consume(&r, l);
+                        int rep = 3 + (int)br_bits(&r, 3);
+                        br_consume(&r, 3);
+                        if (i + rep > tot) ICX_SAVE_RET(-1);
+                        while (rep--) all[i++] = 0;
+                    } else {
+                        if (l + 7 > r.n) ICX_RESTORE_RET(1);
+                        br_consume(&r, l);
+                        int rep = 11 + (int)br_bits(&r, 7);
+                        br_consume(&r, 7);
+                        if (i + rep > tot) ICX_SAVE_RET(-1);
+                        while (rep--) all[i++] = 0;
+                    }
+                }
+                memset(dll, 0, sizeof dll);
+                memset(dof, 0, sizeof dof);
+                memcpy(dll, all, (size_t)num_ll);
+                memcpy(dof, all + num_ll, (size_t)num_of);
+                if (dll[256] == 0) ICX_SAVE_RET(-1);
+            }
+            if (build_table2(dll, NUM_LITLEN, 11, c->ll_tab, 0, 0)
+                    || build_table2(dof, NUM_OFFSET, 8, c->of_tab, 1, 0))
+                ICX_SAVE_RET(-1);
+            c->state = ICX_BODY;
+            continue;
+        }
+        /* ICX_BODY: one symbol per iteration, checked reads */
+        {
+            const uint8_t *snap_in = r.in;
+            uint64_t snap_buf = r.buf;
+            int snap_n = r.n;
+            icx_refill(&r);
+            int32_t e = c->ll_tab[br_bits(&r, 11)];
+            if (E_TYPE(e) == T_SUB)
+                e = c->ll_tab[E_PAY(e)
+                    + ((uint32_t)(r.buf >> 11)
+                       & ((1u << E_EXTRA(e)) - 1))];
+            int l = E_LEN(e);
+            if (!l) ICX_SAVE_RET(-1);
+            if (l > r.n) ICX_RESTORE_RET(1);
+            int ty = E_TYPE(e);
+            if (ty == T_LIT) {
+                if (op >= oend) ICX_RESTORE_RET(2);
+                br_consume(&r, l);
+                icx_put(c, op++, (uint8_t)E_PAY(e));
+                continue;
+            }
+            if (ty == T_EOB) {
+                br_consume(&r, l);
+                c->state = c->final_blk ? ICX_DONE : ICX_BLKSTART;
+                continue;
+            }
+            /* match: length extra + offset code + offset extra, all
+             * bounded by 48 bits after one refill */
+            int leb = E_EXTRA(e);
+            if (l + leb > r.n) ICX_RESTORE_RET(1);
+            br_consume(&r, l);
+            uint32_t len = E_PAY(e) + br_bits(&r, leb);
+            br_consume(&r, leb);
+            icx_refill(&r);
+            int32_t oe = c->of_tab[br_bits(&r, 8)];
+            if (E_TYPE(oe) == T_SUB)
+                oe = c->of_tab[E_PAY(oe)
+                    + ((uint32_t)(r.buf >> 8)
+                       & ((1u << E_EXTRA(oe)) - 1))];
+            int ol = E_LEN(oe);
+            if (!ol) ICX_SAVE_RET(-1);
+            int oeb = E_EXTRA(oe);
+            if (ol + oeb > r.n) ICX_RESTORE_RET(1);
+            br_consume(&r, ol);
+            uint32_t dist = E_PAY(oe) + br_bits(&r, oeb);
+            br_consume(&r, oeb);
+            if ((int64_t)dist > c->total_out) ICX_SAVE_RET(-1);
+            c->match_len = (int32_t)len;
+            c->match_dist = (int32_t)dist;
+            c->state = ICX_MATCH;
+            continue;
+        }
+    }
+    (void)rc;
+#undef ICX_SAVE_RET
+#undef ICX_RESTORE_RET
+}

@@ -136,3 +136,52 @@ def native_resolve_tokens(tokens, out_cap: int) -> bytes | None:
     if ext is not None:
         return ext.resolve_tokens(tokens, out_cap)
     raise LookupError("no native resolver")
+
+
+class CInflater:
+    """Native resumable streaming decoder (codec.c icx_*), presenting
+    the same step() protocol as models/portable/inflate.Inflater so
+    DeflateDecoder can use it for non-seekable readers at native speed.
+    Raises LookupError at construction when no native library exists."""
+
+    def __init__(self) -> None:
+        import numpy as np
+
+        lib = get_lib()
+        if lib is None:
+            raise LookupError("no native library")
+        self._lib = lib
+        self._ctx = np.zeros(int(lib.icx_size()), np.uint8)
+        lib.icx_init(self._ctx.ctypes.data)
+        self._done = False
+
+    @property
+    def finished(self) -> bool:
+        return self._done
+
+    def step(self, data: bytes, out: bytearray, max_out: int):
+        """Consume from `data`, append to `out` (never past max_out
+        total). Returns (DecompressStatus, bytes_consumed)."""
+        import numpy as np
+
+        from ..utils.errors import BadDataError, DecompressStatus
+
+        room = max(max_out - len(out), 0)
+        buf = np.empty(max(room, 1), np.uint8)
+        src = np.frombuffer(data, np.uint8) if data else \
+            np.zeros(1, np.uint8)
+        in_used = ctypes.c_int64(0)
+        out_written = ctypes.c_int64(0)
+        rc = self._lib.icx_step(
+            self._ctx.ctypes.data, src.ctypes.data, len(data),
+            buf.ctypes.data, room,
+            ctypes.byref(in_used), ctypes.byref(out_written))
+        out += buf[: int(out_written.value)].tobytes()
+        if rc < 0:
+            raise BadDataError("invalid DEFLATE stream")
+        if rc == 0:
+            self._done = True
+            return DecompressStatus.DONE, int(in_used.value)
+        if rc == 2:
+            return DecompressStatus.INSUFFICIENT_SPACE, int(in_used.value)
+        return DecompressStatus.SHORT_INPUT, int(in_used.value)

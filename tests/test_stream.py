@@ -128,3 +128,57 @@ def test_empty_flush_emits_sync_marker():
     enc.write(b"abc")
     enc.finish()
     assert zlib.decompress(sink.getvalue(), -15) == b"abc"
+
+
+class _NonSeekableReader:
+    """Socket-like wrapper: read() only — exercises the resumable
+    native decoder (the round-2 gap: this path was ~1 MB/s Python)."""
+
+    def __init__(self, buf: bytes, chunk: int = 997):
+        self._b, self._p, self._chunk = buf, 0, chunk
+
+    def read(self, n: int) -> bytes:
+        take = min(n, self._chunk)
+        out = self._b[self._p:self._p + take]
+        self._p += len(out)
+        return out
+
+
+def test_nonseekable_decode_matches_and_is_native():
+    import zlib
+
+    from libdeflate_rsx_tpu.stream import DeflateDecoder
+    from tests.conftest import make_corpus
+
+    data = make_corpus("text", 300_000, seed=8)
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = (co.compress(data[:100_000]) + co.flush(zlib.Z_FULL_FLUSH)
+            + co.compress(data[100_000:]) + co.flush())
+    dec = DeflateDecoder(_NonSeekableReader(comp))
+    got = bytearray()
+    while True:
+        piece = dec.read(12345)
+        if not piece:
+            break
+        got += piece
+    assert bytes(got) == data
+    # native engine selected when the library is present
+    from libdeflate_rsx_tpu.native import get_lib
+    if get_lib() is not None:
+        from libdeflate_rsx_tpu.native.host import CInflater
+        assert isinstance(dec._inflater, CInflater)
+
+
+def test_nonseekable_truncated_raises():
+    import zlib
+
+    import pytest as _pytest
+
+    from libdeflate_rsx_tpu.stream import DeflateDecoder
+    from libdeflate_rsx_tpu.utils.errors import ShortInputError
+    from tests.conftest import make_corpus
+
+    comp = zlib.compress(make_corpus("text", 50_000, seed=9), 6)[2:-4]
+    dec = DeflateDecoder(_NonSeekableReader(comp[: len(comp) // 2]))
+    with _pytest.raises(ShortInputError):
+        dec.read()
