@@ -246,7 +246,7 @@ def main() -> None:
     # -- Silesia-like corpus (BASELINE.md headline metric) --------------------
     if not args.no_silesia and not args.only_device:
         members = corpus_files(args.quick)
-        for level in ([6] if args.quick else [1, 6]):
+        for level in ([6] if args.quick else [1, 6, 9, 12]):
             tot = {"n": 0, "ours": 0.0, "zlib": 0.0, "ld": 0.0,
                    "ours_c": 0, "zlib_c": 0, "ld_c": 0}
             for mname, data in members:
@@ -279,25 +279,34 @@ def main() -> None:
                        "zlib_ratio": round(tot["n"] / tot["zlib_c"], 3),
                        "libdeflate_ratio":
                            round(tot["n"] / tot["ld_c"], 3)})
-        # decompress at level 6 sources
-        tot = {"n": 0, "ours": 0.0, "zlib": 0.0, "ld": 0.0}
-        for mname, data in members:
-            comp = zlib.compress(data, 6)[2:-4]
-            d = ld.Decompressor()
-            secs = timeit(d.decompress_deflate, comp, len(data),
-                          min_time=0.1, max_iter=8)
-            zsecs = timeit(lambda c: zlib.decompress(c, -15), comp,
-                           min_time=0.1, max_iter=8)
-            lsecs = timeit(lambda c: ldc.decompress(c, len(data)), comp,
-                           min_time=0.1, max_iter=8) if have_ldc else None
-            rec("silesia", f"decompress/level6/{mname}", len(data), secs,
-                zsecs, lsecs)
-            tot["n"] += len(data)
-            tot["ours"] += secs
-            tot["zlib"] += zsecs
-            tot["ld"] += lsecs or 0.0
-        rec("silesia", "decompress/level6/TOTAL", tot["n"], tot["ours"],
-            tot["zlib"], tot["ld"] if have_ldc else None)
+        # decompress from sources at each level (the reference benches
+        # decode from multiple source levels, reference
+        # benches/bench_main.rs:1057-1122); level-12 sources come from
+        # our own DP tier
+        for src_level in ([6] if args.quick else [1, 6, 9, 12]):
+            tot = {"n": 0, "ours": 0.0, "zlib": 0.0, "ld": 0.0}
+            for mname, data in members:
+                if src_level <= 9:
+                    comp = zlib.compress(data, src_level)[2:-4]
+                else:
+                    comp = ld.Compressor(src_level).compress_deflate(data)
+                d = ld.Decompressor()
+                secs = timeit(d.decompress_deflate, comp, len(data),
+                              min_time=0.1, max_iter=8)
+                zsecs = timeit(lambda c: zlib.decompress(c, -15), comp,
+                               min_time=0.1, max_iter=8)
+                lsecs = timeit(lambda c: ldc.decompress(c, len(data)),
+                               comp, min_time=0.1, max_iter=8) \
+                    if have_ldc else None
+                rec("silesia", f"decompress/level{src_level}/{mname}",
+                    len(data), secs, zsecs, lsecs)
+                tot["n"] += len(data)
+                tot["ours"] += secs
+                tot["zlib"] += zsecs
+                tot["ld"] += lsecs or 0.0
+            rec("silesia", f"decompress/level{src_level}/TOTAL",
+                tot["n"], tot["ours"], tot["zlib"],
+                tot["ld"] if have_ldc else None)
 
     # -- Device groups --------------------------------------------------------
     # Sustained ON-DEVICE throughput (device-resident inputs, scalar

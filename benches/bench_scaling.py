@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
-"""Scaling-efficiency series: sharded device encode over 1/2/4/8-device
-meshes (BASELINE.md: "scaling efficiency (1 chip -> 1 host -> N hosts)").
+"""Weak-scaling series: sharded device encode over 1/2/4/8-device
+meshes with FIXED WORK PER DEVICE (BASELINE.md: "scaling efficiency
+(1 chip -> 1 host -> N hosts)").
 
-Each mesh size runs in its own subprocess (device count is fixed at
-backend init) compressing the same buffer with ShardedCompressor; rows
-record throughput and efficiency vs the 1-device run. On the virtual CPU
-mesh all devices share the host's cores, so efficiency reflects
-orchestration overhead (sharding, all-gather offset scan, assembly), not
-chip compute; on a real slice the same path scales with chips.
+HONEST-SIGNAL NOTE (round-2 review item): on the virtual CPU mesh every
+"device" shares one physical core, so NO throughput number here carries
+chip-scaling signal. What a virtual mesh CAN measure is orchestration
+overhead: with fixed work per device, the time per device-chunk would be
+constant under perfect orchestration regardless of mesh size. Rows
+therefore report `orchestration_efficiency` = unit_time(1 dev) /
+unit_time(n dev); chip scaling itself must be measured on a real slice
+(the same code path, nothing virtual-specific).
 
 Writes benches/scaling.json.
 
@@ -72,10 +75,20 @@ def main() -> None:
         print(f"mesh={row['n_devices']:2d}  "
               f"{row['throughput_mbps']:8.1f} MB/s")
     if rows:
-        base = rows[0]["throughput_mbps"]
+        # fixed work per device: unit_time = wall / n_devices; perfect
+        # orchestration keeps it flat as the mesh grows
         for r in rows:
-            r["efficiency"] = round(
-                r["throughput_mbps"] / (base * r["n_devices"]), 3)
+            r["unit_time_ms"] = round(
+                r["bytes"] / r["n_devices"]
+                / (r["throughput_mbps"] * 1e6) * 1e3, 3)
+        base_unit = rows[0]["unit_time_ms"]
+        for r in rows:
+            r["orchestration_efficiency"] = round(
+                base_unit / r["unit_time_ms"], 3)
+            r["mode"] = "weak-scaling-virtual-mesh"
+            r["signal"] = ("orchestration-overhead-only: virtual devices "
+                           "share one core; chip scaling needs a real "
+                           "slice")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "scaling.json")
     with open(path, "w") as f:
