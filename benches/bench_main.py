@@ -407,9 +407,18 @@ def main() -> None:
         int(probe_dynB(a2, *args_b))
         tB = max(best_of(lambda: int(probe_dynB(a2, *args_b))) - 0.03,
                  1e-9) / K_DEV
+        # host table step, batched: production (BatchCompressor /
+        # deflate_device_dynamic_many) fetches the histograms for the
+        # WHOLE batch in one transfer, paying the dev link's ~26 ms
+        # round-trip latency once instead of per chunk
+        NBATCH = 8
+        outA_b = ja(jnp.concatenate([a2 + k for k in range(NBATCH)]),
+                    jnp.concatenate([v2] * NBATCH))
+        jax.block_until_ready(outA_b)
+        finals_b = np.zeros(ROWS * NBATCH, bool)
         t0 = time.perf_counter()
-        build_tables_host(outA[4], outA[5], finals)
-        tH = time.perf_counter() - t0
+        build_tables_host(outA_b[4], outA_b[5], finals_b)
+        tH = (time.perf_counter() - t0) / NBATCH
         chunk = ROWS * BLOCK
         secs = tA + tB + tH
         zsecs = timeit(lambda d: zlib.compress(d, 6), data[:chunk])

@@ -136,9 +136,21 @@ class BatchCompressor:
         par_iter, reference src/batch.rs:34-57)."""
         device = self._device_wanted()
         if device:
+            items = [bytes(x) for x in inputs]
+            # dynamic tier: one batched analyze/fetch/emit for the whole
+            # batch (a per-item host round trip costs ~26 ms latency on
+            # a dev link; batching pays it once)
+            if self.level in DEVICE_LEVELS_DYNAMIC and len(items) > 1:
+                try:
+                    from .models.greedy_dynamic import (
+                        deflate_device_dynamic_many)
+                    payloads = deflate_device_dynamic_many(items)
+                    return [self._frame(d, p)
+                            for d, p in zip(items, payloads)]
+                except Exception:
+                    pass   # per-item path below
             out: list[bytes] = []
-            for item in inputs:
-                data = bytes(item)
+            for data in items:
                 try:
                     try:
                         out.append(self._compress_one_device(data))

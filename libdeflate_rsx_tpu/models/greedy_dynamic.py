@@ -115,3 +115,52 @@ def deflate_device_dynamic(data: bytes,
                              finals, num, out_cap)
     return b"".join(apply_stored_fallback(parts, data, block_size, valid,
                                           finals, num))
+
+
+def deflate_device_dynamic_many(datas: list[bytes],
+                                block_size: int = DEFAULT_BLOCK
+                                ) -> list[bytes]:
+    """Batched dynamic-tier encode of many independent buffers.
+
+    All items' blocks ride ONE analyze launch, ONE histogram fetch, and
+    ONE emit launch (the round-2 review's pipelining item: per-item
+    host round trips over the dev link cost ~26 ms latency each; one
+    batched fetch amortizes it across the whole batch). Per-item
+    outputs are reassembled in order.
+    """
+    import jax.numpy as jnp
+
+    metas = []
+    blocks_l, valids_l, finals_l = [], [], []
+    row = 0
+    for data in datas:
+        arr, valid, finals, num = split_blocks(data, block_size)
+        metas.append((row, num, data, finals))
+        row += num
+        blocks_l.append(arr)
+        valids_l.append(valid)
+        finals_l.append(finals)
+    if not metas:
+        return []
+    blocks = np.concatenate(blocks_l)
+    valids = np.concatenate(valids_l)
+    finals = np.concatenate(finals_l)
+
+    arr_j = jnp.asarray(blocks)
+    ml, dist, sel, lit, llh, ofh = jit_analyze(block_size)(
+        arr_j, jnp.asarray(valids))
+    ll_tabs, of_tabs, headers, hdr_bits = build_tables_host(
+        llh, ofh, finals)
+    device_out = jit_emit(block_size)(
+        arr_j, ml, dist, sel, lit, jnp.asarray(ll_tabs),
+        jnp.asarray(of_tabs), jnp.asarray(hdr_bits.astype(np.int32)))
+    out_cap = 2 * block_size + 1024
+    parts = assemble_dynamic(device_out, headers, hdr_bits, ll_tabs,
+                             finals, row, out_cap)
+    outs = []
+    for start, num, data, fin in metas:
+        item_parts = apply_stored_fallback(
+            parts[start:start + num], data, block_size,
+            valids[start:start + num], fin, num)
+        outs.append(b"".join(item_parts))
+    return outs
