@@ -334,13 +334,17 @@ static inline int split_check(Split *s) {
     return decide;
 }
 
-/* level -> (strategy greedy=0/lazy=1, depth, nice, lazy2) */
-static const int LEVEL_PARAMS[10][5] = {
-    {0, 0, 0, 0, 0},
-    {0, 2, 16, 0, 0}, {0, 8, 16, 0, 0}, {0, 24, 32, 0, 0},
-    {0, 48, 64, 0, 0},
-    {1, 48, 48, 0, 8}, {1, 128, 128, 0, 8}, {1, 256, 160, 1, 16},
-    {1, 1024, 258, 1, 32}, {1, 4096, 258, 1, 64},
+/* level -> (strategy greedy=0/lazy=1, depth, nice, lazy2, good,
+ * maxlazy). maxlazy is zlib's max_lazy rule: a held match at least
+ * this long commits without probing the next position at all (the
+ * good rule only shallows the probe); 0 disables for the ratio tiers */
+static const int LEVEL_PARAMS[10][6] = {
+    {0, 0, 0, 0, 0, 0},
+    {0, 2, 16, 0, 0, 0}, {0, 8, 16, 0, 0, 0}, {0, 24, 32, 0, 0, 0},
+    {0, 48, 64, 0, 0, 0},
+    {1, 48, 48, 0, 8, 32}, {1, 128, 128, 0, 8, 32},
+    {1, 256, 160, 1, 16, 64},
+    {1, 1024, 258, 1, 32, 0}, {1, 4096, 258, 1, 64, 0},
 };
 
 typedef struct {
@@ -351,6 +355,7 @@ typedef struct {
     int32_t *prevl;  /* ring of MF_RING entries (see BT.child note) */
     int depth, nice, lazy, lazy2;
     int good;     /* zlib-style: held match >= good => depth >> 2 */
+    int maxlazy;  /* held match >= maxlazy => commit, no probe */
     int h3;       /* maintain the hash3 single-probe table */
     int hshift;      /* 32 - hb: tables sized to the input so small
                       * calls don't pay a 256 KB clear */
@@ -977,6 +982,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
         mf.hshift = 32 - hb;
         mf.depth = lp[1]; mf.nice = lp[2]; mf.lazy = lp[0]; mf.lazy2 = lp[3];
         mf.good = lp[4];
+        mf.maxlazy = lp[5];
         mf.h3 = 0;   /* 3-byte matches only pay off under the DP tiers'
                       * cost model; greedily taken they disrupt longer
                       * matches (measured: ratio AND speed improve) */
@@ -1025,7 +1031,9 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                      * already good, probe the next position shallowly */
                     int d = (mf.good && held_len >= (uint32_t)mf.good)
                         ? (mf.depth >> 2) : mf.depth;
-                    len = mf_find(&mf, i, maxl, &off, d);
+                    if (!(mf.maxlazy
+                          && held_len >= (uint32_t)mf.maxlazy))
+                        len = mf_find(&mf, i, maxl, &off, d);
                     if (!mf.lazy) {
                         if (len >= 3) {
                             misses = 0;
@@ -1059,7 +1067,14 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                     split_obs_match(&sp, held_len, held_off);
                     nseq++;
                     int64_t stop = i - 1 + held_len;
-                    for (int64_t q = i + 1; q < stop; q++) mf_insert(&mf, q);
+                    /* long matches insert sparsely: positions inside a
+                     * long repeat add little chain value but cost a
+                     * hash+store each (the reference HT-tier's batched
+                     * skip, src/compress/matchfinder.rs:1059-1106) */
+                    int64_t step = held_len >= 96 ? 4
+                        : (held_len >= 24 ? 2 : 1);
+                    for (int64_t q = i + 1; q < stop; q += step)
+                        mf_insert(&mf, q);
                     i = stop;
                     held_len = 0;
                     continue;
@@ -1076,7 +1091,10 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                     split_obs_match(&sp, len, off);
                     nseq++;
                     int64_t stop = i + len;
-                    for (int64_t q = i + 1; q < stop; q++) mf_insert(&mf, q);
+                    int64_t step = len >= 96 ? 4
+                        : (len >= 24 ? 2 : 1);
+                    for (int64_t q = i + 1; q < stop; q += step)
+                        mf_insert(&mf, q);
                     i = stop;
                 } else {
                     lits[nlit++] = buf[i];
