@@ -76,8 +76,13 @@ def analyze_block(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
     dsym, _, _ = offset_sym_fields(jnp.clip(dist, 1, WINDOW_SIZE))
     byte = data_padded[:s].astype(jnp.int32)
     hsym = jnp.where(sel, lsym, jnp.where(lit, byte, _NOSYM_LL))
-    ll_hist = _hist(hsym, NUM_LITLEN)
-    of_hist = _hist(jnp.where(sel, dsym, _NOSYM_OF), NUM_OFFSET)
+    # saturating uint16 counts halve the histogram bytes crossing the
+    # host link (the package-merge weights only need relative magnitude;
+    # saturation at 65535 on a 64 KiB block is lossless in practice)
+    ll_hist = jnp.minimum(_hist(hsym, NUM_LITLEN), 65535
+                          ).astype(jnp.uint16)
+    of_hist = jnp.minimum(_hist(jnp.where(sel, dsym, _NOSYM_OF),
+                                NUM_OFFSET), 65535).astype(jnp.uint16)
     return ml, dist, sel, lit, ll_hist, of_hist
 
 
@@ -141,7 +146,7 @@ def build_tables_host(ll_hist, of_hist, finals: np.ndarray):
     dominate the whole host step."""
     import jax
 
-    ll_hist, of_hist = (np.asarray(x) for x in
+    ll_hist, of_hist = (np.asarray(x).astype(np.uint32) for x in
                         jax.device_get((ll_hist, of_hist)))
     from ..native import dyn_tables_native
     b = ll_hist.shape[0]
