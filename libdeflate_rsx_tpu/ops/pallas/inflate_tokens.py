@@ -396,7 +396,7 @@ def _make_kernel(s, max_steps, nflush):
                 st = refill_buf(load_st())
                 active = mode < DONE
                 mS = active & (mode == BLKSTART)
-                b3 = bits(st[0], z(3))
+                b3 = (st[0] & U(7)).astype(I)
                 newfin = jnp.where(mS, b3 & 1, final)
                 btype = b3 >> 1
                 st = consume(st, jnp.where(mS, 3, 0))
@@ -407,7 +407,7 @@ def _make_kernel(s, max_steps, nflush):
                 pad = (8 - (st[3] & 7)) & 7
                 st = consume(st, jnp.where(mSt, pad, 0))
                 st = refill_buf(st)
-                slen = bits(st[0], z(16))
+                slen = (st[0] & U(0xFFFF)).astype(I)
                 snlen = (st[0] >> U(16)).astype(I) & 0xFFFF
                 badh = badh | (mSt & (slen != (snlen ^ 0xFFFF)))
                 st = consume(st, jnp.where(mSt, 32, 0))
@@ -431,11 +431,11 @@ def _make_kernel(s, max_steps, nflush):
 
                 # dynamic header counts
                 mDyn = mS & (btype == 2)
-                hl = bits(st[0], z(5))
+                hl = (st[0] & U(31)).astype(I)
                 st = consume(st, jnp.where(mDyn, 5, 0))
-                hd = bits(st[0], z(5))
+                hd = (st[0] & U(31)).astype(I)
                 st = consume(st, jnp.where(mDyn, 5, 0))
-                hc = bits(st[0], z(4))
+                hc = (st[0] & U(15)).astype(I)
                 st = consume(st, jnp.where(mDyn, 4, 0))
                 nlit = jnp.where(mDyn, 257 + hl, nlit)
                 ndist = jnp.where(mDyn, 1 + hd, ndist)
@@ -466,7 +466,7 @@ def _make_kernel(s, max_steps, nflush):
 
                 # ---- PRELEN: one 3-bit precode length per step
                 mP = active & (mode == PRELEN) & ~mS
-                v3 = bits(st[0], z(3))
+                v3 = (st[0] & U(7)).astype(I)
                 oidx = _gather(order_ref, jnp.clip(idx, 0, 18), 19, s)
                 _nibble_write(plens, oidx, v3, mP, 3, s)
                 st = consume(st, jnp.where(mP, 3, 0))
@@ -614,7 +614,7 @@ def _make_kernel(s, max_steps, nflush):
                 mV = mode == STORED
                 final = sv[R_FINAL]
                 st = refill_buf(load_st())
-                byte = bits(st[0], z(8))
+                byte = (st[0] & U(0xFF)).astype(I)
                 st = consume(st, jnp.where(mV, 8, 0))
                 newout = sv[R_OUTPOS] + 1
                 badv = mV & (newout > OUT_CAP)
