@@ -254,8 +254,11 @@ def main() -> None:
                 ours = c.compress_deflate(data)
                 secs = timeit(c.compress_deflate, data, min_time=0.1,
                               max_iter=5)
-                zc = zlib.compress(data, level)[2:-4]
-                zsecs = timeit(lambda d: zlib.compress(d, level), data,
+                # zlib caps at 9; levels 10-12 bench against the
+                # level-9-class control (the reference's convention)
+                zl = min(level, 9)
+                zc = zlib.compress(data, zl)[2:-4]
+                zsecs = timeit(lambda d: zlib.compress(d, zl), data,
                                min_time=0.1, max_iter=5)
                 lc = ldc.compress(data, level) if have_ldc else b"?"
                 lsecs = timeit(lambda d: ldc.compress(d, level), data,
@@ -430,7 +433,13 @@ def main() -> None:
                 "dickens_ratio": round(len(tdata) / len(comp), 3),
                 "static_ratio": round(len(tdata) / len(scomp), 3),
                 "zlib6_ratio": round(
-                    len(tdata) / len(zlib.compress(tdata, 6)), 3)})
+                    len(tdata) / len(zlib.compress(tdata, 6)), 3),
+                # breakdown: tA/tB are device phases, tH is the batched
+                # host table step INCLUDING the dev link's histogram
+                # fetch (~1 MB/s tunnel here; ~us on a PCIe host)
+                "tA_ms": round(tA * 1e3, 2),
+                "tB_ms": round(tB * 1e3, 2),
+                "tH_host+link_ms": round(tH * 1e3, 2)})
 
         # batch decode: lockstep two-pass decoder (pass-1 entropy decode
         # on device; ops/pallas/inflate_tokens.py). TWO input sets

@@ -33,3 +33,19 @@ print(f"gzip: {len(data)} -> {len(framed)} bytes across the mesh")
 # many independent buffers ride one sharded launch
 outs = sc.compress_batch([data[:10000], data[:50000], data])
 print("batch sizes:", [len(o) for o in outs])
+
+# sharded device DECODE: stream groups of the lockstep two-pass decoder
+# ride the same mesh (one 128-lane group per chip per launch)
+import zlib
+
+from libdeflate_rsx_tpu.parallel import ShardedDecompressor
+
+streams = [zlib.compress(bytes([65 + i]) * 5000 + data[:2000], 6)[2:-4]
+           for i in range(6)]
+dec = ShardedDecompressor(mesh, max_steps=4096)
+outs = dec.decompress_batch(streams)
+assert all(o is not None for o in outs)
+print(f"sharded decode: {len(outs)} streams OK")
+
+print(f"compressed {len(data)} -> {len(framed)} bytes "
+      f"({len(data) / len(framed):.2f}x) across {mesh.devices.size} devices")

@@ -142,3 +142,19 @@ def test_compress_global_single_process():
     raw = mh.compress_global(data, "deflate", block_size=65536)
     assert zlib.decompress(raw, -15) == data
     assert gzip.decompress(mh.compress_global(b"", "gzip")) == b""
+
+
+def test_batch_decompressor_device_routes_lockstep():
+    """BatchDecompressor(use_device=True) with >=8 items rides the
+    lockstep decoder (bucketed step budget) and stays byte-exact with
+    per-item isolation."""
+    from libdeflate_rsx_tpu.batch import BatchDecompressor
+
+    datas = [make_corpus("pattern", 200 + 17 * i, seed=i)
+             for i in range(8)]
+    streams = [zlib.compress(d, 6)[2:-4] for d in datas]
+    streams.append(b"\x01\x02junk")
+    out = BatchDecompressor(use_device=True).decompress_batch(
+        streams, [600 for _ in streams])
+    assert out[:8] == datas
+    assert out[8] is None
