@@ -892,23 +892,28 @@ def steps_for_caps(caps) -> int:
     return _STEP_BUCKETS[-1]
 
 
-def inflate_device_tokens(streams: list[bytes], s: int = 1,
-                          max_steps: int = 72 * 1024):
-    """Full two-pass device decode: pass 1 on device, pass 2 via the
-    native C resolver (numpy fallback). Returns list[bytes | None]."""
+def _resolve_one(job):
     from ...native.host import native_resolve_tokens
     from ..tokens import resolve_tokens_np
 
-    res = []
-    for col, outlen in decode_tokens_device(streams, s, max_steps):
-        if col is None:
-            res.append(None)
-            continue
-        try:
-            got = native_resolve_tokens(col, outlen)
-        except LookupError:
-            got = resolve_tokens_np(col, outlen)
-        if got is not None and len(got) != outlen:
-            got = None
-        res.append(got)
-    return res
+    col, outlen = job
+    if col is None:
+        return None
+    try:
+        got = native_resolve_tokens(col, outlen)
+    except LookupError:
+        got = resolve_tokens_np(col, outlen)
+    if got is not None and len(got) != outlen:
+        got = None
+    return got
+
+
+def inflate_device_tokens(streams: list[bytes], s: int = 1,
+                          max_steps: int = 72 * 1024):
+    """Full two-pass device decode: pass 1 on device, pass 2 as the
+    parallel LZ copy-resolution pass — per-stream C resolution fanned
+    out on the host pool (the C resolver releases the GIL), numpy
+    fallback. Returns list[bytes | None]."""
+    from ...parallel.hostpool import pmap
+
+    return pmap(_resolve_one, decode_tokens_device(streams, s, max_steps))

@@ -339,21 +339,15 @@ class ShardedDecompressor:
         toks = np.asarray(toks_dev[:, :nrows])
         toks = toks.reshape(gpad, nrows * it.TOK_CHUNK, lanes)
 
-        from ..native.host import native_resolve_tokens
-        from ..ops.tokens import resolve_tokens_np
-        out = []
+        from ..ops.pallas.inflate_tokens import _resolve_one
+        from .hostpool import pmap
+        jobs = []
         for i in range(n):
             g, lane = i // lanes, i % lanes
             if not ok[i] or stats[g, 0, 0, lane] != it.DONE:
-                out.append(None)
+                jobs.append((None, 0))
                 continue
-            outlen = int(stats[g, 1, 0, lane])
-            col = np.ascontiguousarray(toks[g, :, lane])
-            try:
-                got = native_resolve_tokens(col, outlen)
-            except LookupError:
-                got = resolve_tokens_np(col, outlen)
-            if got is not None and len(got) != outlen:
-                got = None
-            out.append(got)
-        return out
+            jobs.append((np.ascontiguousarray(toks[g, :, lane]),
+                         int(stats[g, 1, 0, lane])))
+        # pass 2: parallel LZ copy-resolution on the host pool
+        return pmap(_resolve_one, jobs)
