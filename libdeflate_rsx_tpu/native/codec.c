@@ -32,7 +32,11 @@
 #define NUM_LITLEN 288
 #define NUM_OFFSET 32
 #define NUM_PRECODE 19
-#define MAX_LL_LEN 15
+/* litlen codes are capped at 14 bits (the reference does the same,
+ * reference src/compress/mod.rs:127-129): with a byte-aligned buffer
+ * (<=7 bits pending) four fused literal writes are 7+4*14 = 63 <= 64
+ * bits, enabling the unconditional 8-byte-store emit loop */
+#define MAX_LL_LEN 14
 #define MAX_OF_LEN 15
 #define MAX_PRE_LEN 7
 #define SOFT_BLOCK 300000
@@ -355,7 +359,7 @@ typedef struct {
     int64_t n;
     int32_t *head;   /* 1 << hb (hash4 chains) */
     int32_t *head3;  /* 1 << hb (hash3 single probe) */
-    int32_t *prevl;  /* ring of MF_RING entries (see BT.child note) */
+    uint16_t *prev16; /* WINDOW-sized ring of u16 delta links */
     int depth, nice, lazy, lazy2;
     int good;     /* zlib-style: held match >= good => depth >> 2 */
     int maxlazy;  /* held match >= maxlazy => commit, no probe */
@@ -378,41 +382,72 @@ static inline uint32_t hash3(const uint8_t *p, int shift) {
     return ((w & 0xFFFFFF) * 0x9E3779B1u) >> shift;
 }
 
-static inline void mf_insert(MF *m, int64_t i) {
-    if (i + MIN_MATCH + 1 > m->n) return;
-    uint32_t h = hash4(m->buf + i, m->hshift);
-    m->prevl[i & MF_RM] = m->head[h];
+/* insert position i (hash precomputed) and return the previous chain
+ * head — fusing the probe's chain start with the insertion so each
+ * position hashes its 4 bytes exactly once */
+static inline int32_t mf_insert_get(MF *m, int64_t i, uint32_t h) {
+    int32_t old = m->head[h];
+    uint64_t d = (uint64_t)(i - old);
+    m->prev16[i & (WINDOW - 1)] =
+        (old < 0 || d > 0xFFFF) ? 0 : (uint16_t)d;
     m->head[h] = (int32_t)i;
-    /* hash3 feeds only the length-3 probe, which speed tiers
-     * (depth < 24) never take — skip its maintenance there */
     if (m->h3)
         m->head3[hash3(m->buf + i, m->hshift)] = (int32_t)i;
+    return old;
 }
 
-static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
+static inline void mf_insert(MF *m, int64_t i) {
+    if (i + MIN_MATCH + 1 > m->n) return;
+    mf_insert_get(m, i, hash4(m->buf + i, m->hshift));
+}
+
+/* walk the chain starting at j (the head BEFORE i was inserted) */
+static inline uint32_t mf_walk(MF *m, int64_t i, int32_t j, uint32_t max,
                                uint32_t *off_out, int depth) {
-    if (i + MIN_MATCH + 1 > m->n || max < 3) return 0;
-    int64_t limit = i - WINDOW;
+    if (max < 3) return 0;
     const uint8_t *base = m->buf;
+    const uint8_t *in = base + i;
     uint32_t best = 0, boff = 0;
     if (max >= 4) {
-        int32_t j = m->head[hash4(base + i, m->hshift)];
-        int d = depth;
-        while (j >= 0 && j > limit && d-- > 0) {
-            if (base[j + best] == base[i + best]) {
-                uint32_t l = match_len(base + j, base + i, max);
-                if (l > best) {
-                    best = l; boff = (uint32_t)(i - j);
-                    /* also stop when the match saturates max: otherwise
-                     * base[i + best] below reads one past the input */
-                    if (l >= (uint32_t)m->nice || l >= max) break;
+        /* candidate filter: one u32 load at in+best-3 rejects any
+         * candidate that cannot beat the current best, one u32 load at
+         * the candidate start confirms the first 4 bytes, and the full
+         * compare then extends from byte 4 (the reference's first-byte
+         * screen, reference src/compress/matchfinder.rs:812-888,
+         * sharpened to 4-byte screens). best starts at 3 so the
+         * best-3 screen initially IS the first-4 screen. */
+        uint32_t first4, want;
+        memcpy(&first4, in, 4);
+        want = first4;
+        uint32_t b3 = 3; /* screen position = b3 - 3 */
+        uint32_t maxoff = i > WINDOW ? WINDOW : (uint32_t)i;
+        if (j >= 0) {
+            uint32_t off = (uint32_t)(i - j);
+            int d = depth;
+            while (off <= maxoff && d-- > 0) {
+                uint32_t have, f;
+                memcpy(&have, base + j + b3 - 3, 4);
+                if (have == want) {
+                    memcpy(&f, base + j, 4);
+                    if (f == first4) {
+                        uint32_t l = 4 + match_len(base + j + 4, in + 4,
+                                                   max - 4);
+                        if (l > best) {
+                            best = l; boff = off;
+                            /* stop on saturation: want at in+best-3
+                             * would read past the usable input */
+                            if (l >= (uint32_t)m->nice || l >= max)
+                                break;
+                            b3 = best;
+                            memcpy(&want, in + b3 - 3, 4);
+                        }
+                    }
                 }
+                uint32_t delta = m->prev16[j & (WINDOW - 1)];
+                if (!delta) break;
+                j -= (int32_t)delta;
+                off += delta;
             }
-            j = m->prevl[j & MF_RM];
-            /* the next chain link is a dependent load from a 128 KB
-             * ring; prefetching it overlaps the match-length compare
-             * (+11-16% at the speed tiers, measured) */
-            __builtin_prefetch(&m->prevl[j & MF_RM]);
         }
     }
     if (best >= 4) { *off_out = boff; return best; }
@@ -420,7 +455,7 @@ static inline uint32_t mf_find(MF *m, int64_t i, uint32_t max,
     /* fall back to a close length-3 match (single-probe hash3): worth
      * at most when nearby — a far 3-match costs more than 3 literals */
     int32_t j3 = m->head3[hash3(base + i, m->hshift)];
-    if (j3 >= 0 && j3 < i && i - j3 <= 1024 && j3 > limit
+    if (j3 >= 0 && j3 < i && i - j3 <= 1024 && j3 > i - WINDOW
             && base[j3] == base[i] && base[j3 + 1] == base[i + 1]
             && base[j3 + 2] == base[i + 2]) {
         *off_out = (uint32_t)(i - j3);
@@ -602,7 +637,99 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
     canonical_codes(ll_lens, NUM_LITLEN, ll_codes);
     canonical_codes(of_lens, NUM_OFFSET, of_codes);
 
+    /* packed emit tables (the reference's packed-u64 sequence emitter
+     * idea, reference src/compress/mod.rs:1918-2051, re-derived): a
+     * literal is one fused <=14-bit write; a match length fuses symbol
+     * code + extra bits into <=19, an offset into <=28 — so 4 literals
+     * or one whole match fit the 64-bit buffer after one byte-aligned
+     * flush. */
+    uint32_t llp[256];
+    for (int b = 0; b < 256; b++)
+        llp[b] = ll_codes[b] | ((uint32_t)ll_lens[b] << 16);
+    uint32_t lenp[MAX_MATCH + 1];
+    uint8_t lenb[MAX_MATCH + 1];
+    for (int l = MIN_MATCH; l <= MAX_MATCH; l++) {
+        int s2 = LEN2SYM[l], cl = ll_lens[257 + s2];
+        lenp[l] = ll_codes[257 + s2]
+            | ((uint32_t)(l - LEN_BASE[s2]) << cl);
+        lenb[l] = (uint8_t)(cl + LEN_EXTRA[s2]);
+    }
     const uint8_t *lp = lits;
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+    {
+        uint64_t bb = w->buf;
+        unsigned nb = (unsigned)w->n;
+        uint8_t *out = w->out;
+        uint8_t *safe = w->end - 8;  /* room for one blind 8-byte store */
+        /* blind 8-byte store, advance by whole bytes */
+#define LD_FLUSH8() do { memcpy(out, &bb, 8); out += nb >> 3; \
+            bb >>= (nb & ~7u); nb &= 7u; } while (0)
+        for (int s = 0; s < nseq; s++) {
+            uint32_t run = seqs[s].litrun;
+            while (run >= 4) {
+                if (out > safe) goto spill;
+                LD_FLUSH8();
+                uint32_t e0 = llp[lp[0]], e1 = llp[lp[1]];
+                uint32_t e2 = llp[lp[2]], e3 = llp[lp[3]];
+                bb |= (uint64_t)(uint16_t)e0 << nb; nb += e0 >> 16;
+                bb |= (uint64_t)(uint16_t)e1 << nb; nb += e1 >> 16;
+                bb |= (uint64_t)(uint16_t)e2 << nb; nb += e2 >> 16;
+                bb |= (uint64_t)(uint16_t)e3 << nb; nb += e3 >> 16;
+                lp += 4; run -= 4;
+            }
+            if (out > safe) goto spill;
+            LD_FLUSH8();
+            while (run) {        /* <=3 * 14 = 42 bits on a clean buffer */
+                uint32_t e = llp[*lp++];
+                bb |= (uint64_t)(uint16_t)e << nb; nb += e >> 16;
+                run--;
+            }
+            if (seqs[s].len) {   /* whole match <=47 bits: len 19, off 28 */
+                if (nb > 16) { if (out > safe) goto spill; LD_FLUSH8(); }
+                uint32_t l = seqs[s].len, o = seqs[s].off;
+                bb |= (uint64_t)lenp[l] << nb; nb += lenb[l];
+                int os = off2sym(o);
+                bb |= (uint64_t)(of_codes[os]
+                        | ((o - OFF_BASE[os]) << of_lens[os])) << nb;
+                nb += of_lens[os] + OFF_EXTRA[os];
+            }
+            continue;
+        spill:
+            /* near the end of the output buffer: hand the pending bits
+             * back and finish this seq + the rest fully checked */
+            w->buf = bb; w->n = (int)nb; w->out = out;
+            for (; s < nseq; s++) {
+                /* first iteration: the literals still pending for seq s */
+                for (uint32_t k = run; k > 0; k--) {
+                    uint8_t b = *lp++;
+                    bw_put(w, ll_codes[b], ll_lens[b]);
+                }
+                run = s + 1 < nseq ? seqs[s + 1].litrun : 0;
+                if (seqs[s].len) {
+                    int ls = LEN2SYM[seqs[s].len];
+                    bw_put(w, ll_codes[257 + ls], ll_lens[257 + ls]);
+                    if (LEN_EXTRA[ls])
+                        bw_put(w, seqs[s].len - LEN_BASE[ls], LEN_EXTRA[ls]);
+                    int os = off2sym(seqs[s].off);
+                    bw_put(w, of_codes[os], of_lens[os]);
+                    if (OFF_EXTRA[os])
+                        bw_put(w, seqs[s].off - OFF_BASE[os], OFF_EXTRA[os]);
+                }
+                bw_flushbytes(w);
+            }
+            bw_put(w, ll_codes[256], ll_lens[256]); /* EOB */
+            bw_flushbytes(w);
+            return;
+        }
+        if (out > safe) {
+            w->buf = bb; w->n = (int)nb; w->out = out;
+        } else {
+            LD_FLUSH8();
+            w->buf = bb; w->n = (int)nb; w->out = out;
+        }
+#undef LD_FLUSH8
+    }
+#else
     for (int s = 0; s < nseq; s++) {
         for (uint32_t k = 0; k < seqs[s].litrun; k++) {
             uint8_t b = *lp++;
@@ -620,6 +747,7 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
         }
         bw_flushbytes(w);
     }
+#endif
     bw_put(w, ll_codes[256], ll_lens[256]); /* EOB */
     bw_flushbytes(w);
 }
@@ -985,7 +1113,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
         mf.buf = buf; mf.n = n;
         mf.head = work;
         mf.head3 = work + (1 << hb);
-        mf.prevl = work + 2 * HASH_SIZE;
+        mf.prev16 = (uint16_t *)(work + 2 * HASH_SIZE);
         mf.hshift = 32 - hb;
         mf.depth = lp[1]; mf.nice = lp[2]; mf.lazy = lp[0]; mf.lazy2 = lp[3];
         mf.good = lp[4];
@@ -1033,14 +1161,22 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                 if ((uint32_t)(bend - i) < maxl) maxl = (uint32_t)(bend - i);
                 uint32_t off = 0;
                 uint32_t len = 0;
+                /* one hash per position: insertion returns the prior
+                 * chain head, which is exactly where the probe walks */
+                int can_index = (i + MIN_MATCH + 1 <= n);
+                int32_t j0 = -1;
+                if (can_index)
+                    j0 = mf_insert_get(&mf, i,
+                                       hash4(buf + i, mf.hshift));
                 if (mf.lazy || i >= next_probe) {
                     /* zlib's good_match rule: once the held match is
                      * already good, probe the next position shallowly */
                     int d = (mf.good && held_len >= (uint32_t)mf.good)
                         ? (mf.depth >> 2) : mf.depth;
-                    if (!(mf.maxlazy
-                          && held_len >= (uint32_t)mf.maxlazy))
-                        len = mf_find(&mf, i, maxl, &off, d);
+                    if (can_index
+                        && !(mf.maxlazy
+                             && held_len >= (uint32_t)mf.maxlazy))
+                        len = mf_walk(&mf, i, j0, maxl, &off, d);
                     if (!mf.lazy) {
                         if (len >= 3) {
                             misses = 0;
@@ -1054,7 +1190,6 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                         }
                     }
                 }
-                mf_insert(&mf, i);
                 if (mf.lazy && held_len >= 3) {
                     /* previous position holds a match; compare */
                     int better = len > held_len ||
