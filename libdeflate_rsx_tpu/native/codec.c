@@ -349,7 +349,7 @@ static const int LEVEL_PARAMS[10][6] = {
     {0, 0, 0, 0, 0, 0},
     {0, 2, 16, 0, 0, 0}, {0, 8, 16, 0, 0, 0}, {0, 24, 32, 0, 0, 0},
     {0, 48, 64, 0, 0, 0},
-    {1, 48, 48, 0, 8, 32}, {1, 128, 128, 0, 8, 32},
+    {1, 32, 64, 0, 4, 16}, {1, 128, 128, 0, 4, 16},
     {1, 256, 160, 1, 16, 64},
     {1, 1024, 258, 1, 32, 0}, {1, 4096, 258, 1, 64, 0},
 };
@@ -1162,13 +1162,21 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                 uint32_t off = 0;
                 uint32_t len = 0;
                 /* one hash per position: insertion returns the prior
-                 * chain head, which is exactly where the probe walks */
+                 * chain head, which is exactly where the probe walks.
+                 * Greedy speed tiers skip BOTH the probe and the
+                 * insert inside a miss run (the reference HT tier's
+                 * batched skip_positions, reference
+                 * src/compress/matchfinder.rs:1059-1106): on
+                 * near-incompressible data the hash+store per byte is
+                 * the dominant cost, and a 2-deep chain barely
+                 * notices the missing links. */
+                int do_probe = (mf.lazy || i >= next_probe);
                 int can_index = (i + MIN_MATCH + 1 <= n);
                 int32_t j0 = -1;
-                if (can_index)
+                if (can_index && (do_probe || mf.depth > 8))
                     j0 = mf_insert_get(&mf, i,
                                        hash4(buf + i, mf.hshift));
-                if (mf.lazy || i >= next_probe) {
+                if (do_probe) {
                     /* zlib's good_match rule: once the held match is
                      * already good, probe the next position shallowly */
                     int d = (mf.good && held_len >= (uint32_t)mf.good)

@@ -23,6 +23,25 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Drop any accelerator plugin backends that a site hook may have
+# registered before this file ran: when the dev tunnel behind such a
+# plugin is unreachable its PJRT init can hang the whole test run, and
+# the tests never use it (they force the virtual CPU mesh above).
+try:  # defensive: private API, absence must not break tests
+    from jax._src import xla_bridge as _xb
+
+    def _disabled_backend_factory(*_a, **_k):
+        raise RuntimeError("accelerator backends are disabled in tests")
+
+    for _name, _reg in list(getattr(_xb, "_backend_factories", {}).items()):
+        if _name != "cpu" and hasattr(_reg, "_replace"):
+            # keep the platform *registered* (pallas lowering rules need
+            # the platform name known) but make init fail fast + quiet
+            _xb._backend_factories[_name] = _reg._replace(
+                factory=_disabled_backend_factory, fail_quietly=True)
+except Exception:
+    pass
+
 import random
 
 import numpy as np
