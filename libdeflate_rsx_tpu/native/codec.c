@@ -1491,6 +1491,13 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
     return 0;
 }
 
+/* litlen root width. 11 bits (8 KiB root) measured best: a 12-bit
+ * root packs slightly more double-literal pairs but its per-block
+ * build cost loses more on multi-block streams than the pairs gain
+ * (xml -29%, samba -11%, sao +-0). */
+#define LL_ROOT 11
+#define LL_RMASK ((1u << LL_ROOT) - 1)
+
 /* returns output size or negative error; *consumed = input bytes used */
 int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                   int64_t out_cap, int64_t *consumed) {
@@ -1611,7 +1618,7 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                  * reference's OnceLock static-table cache, reference
                  * src/decompress/mod.rs:68-75) */
                 if (!static_ready || static_packed != pack_ok) {
-                    if (build_table2(dll, NUM_LITLEN, 11, ll_static, 0,
+                    if (build_table2(dll, NUM_LITLEN, LL_ROOT, ll_static, 0,
                                      pack_ok)
                             || build_table2(dof, NUM_OFFSET, 8, of_static,
                                             1, 0))
@@ -1624,7 +1631,7 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
             } else {
                 ll_table = ll_dyn;
                 of_table = of_dyn;
-                if (build_table2(dll, NUM_LITLEN, 11, ll_table, 0, pack_ok))
+                if (build_table2(dll, NUM_LITLEN, LL_ROOT, ll_table, 0, pack_ok))
                     return ERR_BADDATA;
                 if (build_table2(dof, NUM_OFFSET, 8, of_table, 1, 0))
                     return ERR_BADDATA;
@@ -1639,7 +1646,7 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
             while (!eob && op + 400 <= oend && r.end - r.in >= 16) {
                 br_refill(&r);   /* n in 56..63: covers a literal burst
                                   * or one full match (<=48 bits) */
-                int32_t e = ll_table[(uint32_t)r.buf & 2047];
+                int32_t e = ll_table[(uint32_t)r.buf & LL_RMASK];
                 uint32_t len, off;
                 for (;;) {
                     int ty = E_TYPE(e);
@@ -1654,7 +1661,7 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                         *op++ = (uint8_t)(pay >> 8);
                     } else if (ty == T_SUB) {
                         e = ll_table[E_PAY(e)
-                            + ((uint32_t)(r.buf >> 11)
+                            + ((uint32_t)(r.buf >> LL_ROOT)
                                & ((1u << E_EXTRA(e)) - 1))];
                         continue;
                     } else if (ty == T_EOB) {
@@ -1675,7 +1682,7 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                     /* literal burst: continue while the buffer still
                      * covers a worst-case 15-bit codeword */
                     if (r.n < 15) goto fast_continue;
-                    e = ll_table[(uint32_t)r.buf & 2047];
+                    e = ll_table[(uint32_t)r.buf & LL_RMASK];
                 }
                 int32_t oe = of_table[(uint32_t)r.buf & 255];
                 if (E_TYPE(oe) == T_SUB)
@@ -1740,10 +1747,10 @@ fast_continue:;
             }
             for (;;) {
                 br_refill(&r);
-                int32_t e = ll_table[(uint32_t)r.buf & 2047];
+                int32_t e = ll_table[(uint32_t)r.buf & LL_RMASK];
                 if (E_TYPE(e) == T_SUB)
                     e = ll_table[E_PAY(e)
-                        + ((uint32_t)(r.buf >> 11)
+                        + ((uint32_t)(r.buf >> LL_ROOT)
                            & ((1u << E_EXTRA(e)) - 1))];
                 int l = E_LEN(e);
                 int ty = E_TYPE(e);
@@ -2472,7 +2479,7 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
                 memcpy(dof, all + num_ll, (size_t)num_of);
                 if (dll[256] == 0) ICX_SAVE_RET(-1);
             }
-            if (build_table2(dll, NUM_LITLEN, 11, c->ll_tab, 0, 0)
+            if (build_table2(dll, NUM_LITLEN, LL_ROOT, c->ll_tab, 0, 0)
                     || build_table2(dof, NUM_OFFSET, 8, c->of_tab, 1, 0))
                 ICX_SAVE_RET(-1);
             c->state = ICX_BODY;
@@ -2484,10 +2491,10 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
             uint64_t snap_buf = r.buf;
             int snap_n = r.n;
             icx_refill(&r);
-            int32_t e = c->ll_tab[br_bits(&r, 11)];
+            int32_t e = c->ll_tab[br_bits(&r, LL_ROOT)];
             if (E_TYPE(e) == T_SUB)
                 e = c->ll_tab[E_PAY(e)
-                    + ((uint32_t)(r.buf >> 11)
+                    + ((uint32_t)(r.buf >> LL_ROOT)
                        & ((1u << E_EXTRA(e)) - 1))];
             int l = E_LEN(e);
             if (!l) ICX_SAVE_RET(-1);

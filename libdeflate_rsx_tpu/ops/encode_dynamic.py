@@ -175,7 +175,10 @@ def _build_tables_py(ll_hist: np.ndarray, of_hist: np.ndarray,
 
     llf = ll_hist.astype(np.int64).copy()
     llf[256] += 1
-    ll_lens, _ = make_huffman_code(llf, 15)
+    # litlen limited to 14 bits (matches native MAX_LL_LEN and the
+    # reference's limit, src/compress/mod.rs:127-129, so fused
+    # multi-symbol emit writes fit fixed-width words); offsets 15.
+    ll_lens, _ = make_huffman_code(llf, 14)
     of_lens, _ = make_huffman_code(of_hist.astype(np.int64), 15)
     ll_lens = _ensure_complete(ll_lens)
     of_lens = _ensure_complete(of_lens)
