@@ -878,14 +878,17 @@ def decode_tokens_device(streams: list[bytes], s: int = 1,
     return out
 
 
-_STEP_BUCKETS = (1024, 4096, 16384, 72 * 1024)
+_STEP_BUCKETS = (1024, 2048, 4096, 16384, 72 * 1024)
 
 
 def steps_for_caps(caps) -> int:
-    """Step budget bucket for a batch (bucketed to bound jit variants).
-    Tokens per stream are bounded by output bytes + header/stall slack;
-    streams that exceed the budget report not-DONE and fall back."""
-    need = max([c for c in caps] or [0]) + 8192
+    """Step budget bucket for a batch (bucketed to bound jit variants —
+    each distinct bucket costs a full pass-1 compile, ~5 min on the CPU
+    test backend). Tokens per stream are bounded by output bytes plus
+    header/stall slack (a block header batches to tens of stall steps;
+    1024 covers hundreds of blocks); streams that exceed the budget
+    report not-DONE and fall back to the host decoder."""
+    need = max([c for c in caps] or [0]) + 1024
     for b in _STEP_BUCKETS:
         if need <= b:
             return b

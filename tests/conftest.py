@@ -19,9 +19,23 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent compilation cache for the XLA-cacheable compiles (device
+# encode/resolve jits). Interpret-mode pallas executables are NOT
+# persistable (measured: the ~5 min pass-1 compile recurs per process),
+# so the suite also minimizes distinct pass-1 step buckets — see
+# steps_for_caps in ops/pallas/inflate_tokens.py.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
 
 # Drop any accelerator plugin backends that a site hook may have
 # registered before this file ran: when the dev tunnel behind such a

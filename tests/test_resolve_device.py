@@ -162,7 +162,9 @@ def test_agrees_with_pass1_tokens_end_to_end():
     base = bytes(rng.integers(97, 123, 3000).astype(np.uint8))
     datas = [zlib.compress(base * 3, 6)[2:-4],
              zlib.compress(bytes(5000), 1)[2:-4]]
-    jobs = decode_tokens_device(datas, s=1)
+    # max_steps=2048 shares the suite's single pass-1 compile bucket
+    # (test_inflate_tokens.MAX_STEPS) instead of compiling a new one
+    jobs = decode_tokens_device(datas, s=1, max_steps=2048)
     cols = [c for c, _ in jobs if c is not None]
     if len(cols) < 2:
         pytest.skip("pass-1 kernel unavailable on this backend")

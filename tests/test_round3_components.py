@@ -118,8 +118,13 @@ def test_cinflater_stored_blocks_and_bad_data():
 def test_sharded_decompressor_roundtrip():
     from libdeflate_rsx_tpu.parallel import ShardedDecompressor, stream_mesh
 
-    datas = [make_corpus("pattern", 250 + 31 * i, seed=i)
-             for i in range(9)]
+    # small streams: this test pins the shard_map wiring + per-item
+    # isolation, not kernel internals (test_inflate_tokens.py covers
+    # sizes/flush boundaries); interpret-mode cost is ~0.5 s/step on
+    # the CPU backend, so step count is the suite's wall-clock budget.
+    # One stream (400 B) still crosses a TOK_CHUNK=256 flush boundary.
+    datas = [make_corpus("pattern", 90 + 17 * i, seed=i)
+             for i in range(8)] + [make_corpus("pattern", 400, seed=8)]
     streams = [zlib.compress(d, 6)[2:-4] for d in datas]
     streams.append(b"\x99garbage!")
     dec = ShardedDecompressor(stream_mesh(), max_steps=1024)
@@ -150,7 +155,7 @@ def test_batch_decompressor_device_routes_lockstep():
     per-item isolation."""
     from libdeflate_rsx_tpu.batch import BatchDecompressor
 
-    datas = [make_corpus("pattern", 200 + 17 * i, seed=i)
+    datas = [make_corpus("pattern", 80 + 9 * i, seed=i)
              for i in range(8)]
     streams = [zlib.compress(d, 6)[2:-4] for d in datas]
     streams.append(b"\x01\x02junk")
