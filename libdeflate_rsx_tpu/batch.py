@@ -180,11 +180,18 @@ class BatchDecompressor:
     cores) and as the scaling unit for sharded meshes."""
 
     def __init__(self, format: str = "deflate",
-                 use_device: bool = False) -> None:
+                 use_device: bool = False,
+                 resolve: str = "host") -> None:
         if format not in ("deflate", "zlib", "gzip"):
             raise ValueError(f"unknown format {format!r}")
+        if resolve not in ("host", "device"):
+            raise ValueError(f"resolve must be host|device: {resolve!r}")
         self.format = format
         self.use_device = use_device
+        # resolve="device" keeps pass 2 (LZ copy resolution) on device
+        # (ops/resolve.py) so only decoded bytes cross the host link;
+        # "host" fans the C resolver out on the host pool.
+        self.resolve = resolve
 
     def _split_container(self, data: bytes):
         """-> (payload, verify_fn) for the configured format."""
@@ -224,12 +231,19 @@ class BatchDecompressor:
         if len(jobs) >= 8:
             # lockstep two-pass decoder: entropy decode for the whole
             # batch rides VPU lanes in one kernel; LZ resolution in C
+            # on the host pool or as the device XLA pass
             from .ops.pallas.inflate_tokens import (
-                inflate_device_tokens, steps_for_caps)
+                cap_bucket, inflate_device_fused, inflate_device_tokens,
+                steps_for_caps)
+            capped = [min(c, 65536) for c in caps]
             try:
-                decoded = inflate_device_tokens(
-                    clean, max_steps=steps_for_caps(
-                        [min(c, 65536) for c in caps]))
+                if self.resolve == "device":
+                    decoded = inflate_device_fused(
+                        clean, max_steps=steps_for_caps(capped),
+                        out_cap=cap_bucket(capped))
+                else:
+                    decoded = inflate_device_tokens(
+                        clean, max_steps=steps_for_caps(capped))
             except Exception:
                 decoded = None
         if decoded is None:

@@ -920,3 +920,77 @@ def inflate_device_tokens(streams: list[bytes], s: int = 1,
     from ...parallel.hostpool import pmap
 
     return pmap(_resolve_one, decode_tokens_device(streams, s, max_steps))
+
+
+_CAP_BUCKETS = (2048, 16384, 65536)
+
+
+def cap_bucket(caps) -> int:
+    """Output-capacity bucket for the device resolver (bounds jit
+    variants the same way steps_for_caps bounds pass-1 variants)."""
+    need = max([c for c in caps] or [1])
+    for b in _CAP_BUCKETS:
+        if need <= b:
+            return b
+    return _CAP_BUCKETS[-1]
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_resolve_tok(groups: int, s: int, out_cap: int):
+    """jit: pass-1 token output (G, nflush, TOK_CHUNK, s, 128) ->
+    (bytes (B, out_cap) uint8, outlen (B,), ok (B,)) with B = G*s*128,
+    row order matching decode_tokens_device's stream indexing."""
+    from ..resolve import resolve_batch_jax
+
+    lanes = s * 128
+
+    def f(toks):
+        t = jnp.transpose(toks, (0, 3, 4, 1, 2))   # (G, s, 128, nf, TC)
+        t = t.reshape(groups * lanes, -1)
+        return resolve_batch_jax(t, out_cap)
+
+    return jax.jit(f)
+
+
+def inflate_device_fused(streams: list[bytes], s: int = 1,
+                         max_steps: int = 72 * 1024,
+                         out_cap: int = 65536):
+    """Two-pass decode with BOTH passes on device: the lockstep pass-1
+    token kernel feeds the XLA LZ copy-resolution pass (ops/resolve.py)
+    without the tokens ever leaving HBM — only decoded bytes (1/4 the
+    token volume) cross the host link. Returns list[bytes | None].
+
+    The TPU analog of keeping the reference's copy kernels
+    (reference src/decompress/x86.rs:2030-2190) on the same core as its
+    symbol loop instead of round-tripping through another processor.
+    """
+    n = len(streams)
+    if n == 0:
+        return []
+    lanes = s * 128
+    inbits, words, ok, groups = pack_streams(streams, s)
+    order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb, sof_perm = \
+        _consts(s)
+    run = _jit_pass1(groups, s, max_steps)
+    toks_dev, stats_dev = run(jnp.asarray(inbits), order, sll_lim,
+                              sll_fb, sll_perm, sof_lim, sof_fb,
+                              sof_perm, jnp.asarray(words))
+    out_dev, outlen_dev, okr_dev = _jit_resolve_tok(
+        groups, s, out_cap)(toks_dev)
+    stats = np.asarray(stats_dev)        # (G, 8, s, 128)
+    out_h = np.asarray(out_dev)
+    len_h = np.asarray(outlen_dev)
+    okr_h = np.asarray(okr_dev)
+    res = []
+    for i in range(n):
+        g, lane = i // lanes, i % lanes
+        si, li = lane // 128, lane % 128
+        row = g * lanes + lane
+        explen = int(stats[g, 1, si, li])
+        if (not ok[i] or stats[g, 0, si, li] != DONE
+                or not okr_h[row] or int(len_h[row]) != explen
+                or explen > out_cap):
+            res.append(None)
+            continue
+        res.append(out_h[row, :explen].tobytes())
+    return res

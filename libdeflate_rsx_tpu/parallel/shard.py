@@ -288,16 +288,24 @@ class ShardedDecompressor:
     Stream groups (128 lanes each) of the lockstep two-pass decoder
     (ops/pallas/inflate_tokens.py) are sharded across the "streams"
     mesh axis with shard_map: each chip entropy-decodes its groups in
-    lockstep, tokens return to the host, and LZ resolution runs through
-    the native C resolver. The multi-chip analog of the reference's
-    per-thread batch decompression (reference src/batch.rs:74-101).
+    lockstep, and LZ resolution runs either through the native C
+    resolver on the host pool (resolve="host") or as the sharded XLA
+    copy-resolution pass on the same chips (resolve="device",
+    ops/resolve.py) so only decoded bytes leave the mesh. The
+    multi-chip analog of the reference's per-thread batch
+    decompression (reference src/batch.rs:74-101).
     """
 
     def __init__(self, mesh: Mesh | None = None,
-                 max_steps: int = 72 * 1024) -> None:
+                 max_steps: int = 72 * 1024,
+                 resolve: str = "host", out_cap: int = 65536) -> None:
         self.mesh = mesh if mesh is not None else stream_mesh()
         self.n_devices = self.mesh.devices.size
         self.max_steps = max_steps
+        if resolve not in ("host", "device"):
+            raise ValueError(f"resolve must be host|device: {resolve!r}")
+        self.resolve = resolve
+        self.out_cap = out_cap
 
     def decompress_batch(self, streams: list[bytes]) -> list:
         from ..ops.pallas import inflate_tokens as it
@@ -333,6 +341,11 @@ class ShardedDecompressor:
             *[jax.device_put(c, repl) for c in consts],
             jax.device_put(jnp.asarray(words), sharding))
         stats = np.asarray(stats_dev)
+
+        if self.resolve == "device":
+            return self._resolve_device(toks_dev, stats, ok, n,
+                                        per_dev)
+
         laststep = int(stats[:, 4].max())
         nrows = min(-(-max(laststep, 1) // it.TOK_CHUNK),
                     self.max_steps // it.TOK_CHUNK)
@@ -351,3 +364,39 @@ class ShardedDecompressor:
                          int(stats[g, 1, 0, lane])))
         # pass 2: parallel LZ copy-resolution on the host pool
         return pmap(_resolve_one, jobs)
+
+    def _resolve_device(self, toks_dev, stats, ok, n: int,
+                        per_dev: int) -> list:
+        """Pass 2 sharded over the mesh: resolution is per-stream local
+        (no collectives), so each chip resolves the token groups it
+        decoded; only the decoded bytes are fetched."""
+        from ..ops.pallas import inflate_tokens as it
+        from ..ops.resolve import resolve_batch_jax
+
+        lanes = 128
+        out_cap = self.out_cap
+
+        def local(toks):                 # (per_dev, nf, TC, 1, 128)
+            t = jnp.transpose(toks, (0, 3, 4, 1, 2))
+            t = t.reshape(per_dev * lanes, -1)
+            return resolve_batch_jax(t, out_cap)
+
+        fn = jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=P(AXIS),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)), check_vma=False))
+        out_dev, outlen_dev, okr_dev = fn(toks_dev)
+        out_h = np.asarray(out_dev)
+        len_h = np.asarray(outlen_dev)
+        okr_h = np.asarray(okr_dev)
+        res = []
+        for i in range(n):
+            g, lane = i // lanes, i % lanes
+            row = g * lanes + lane
+            explen = int(stats[g, 1, 0, lane])
+            if (not ok[i] or stats[g, 0, 0, lane] != it.DONE
+                    or not okr_h[row] or int(len_h[row]) != explen
+                    or explen > out_cap):
+                res.append(None)
+                continue
+            res.append(out_h[row, :explen].tobytes())
+        return res

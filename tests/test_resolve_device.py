@@ -175,6 +175,71 @@ def test_agrees_with_pass1_tokens_end_to_end():
     assert outs[1] == bytes(5000)
 
 
+def test_inflate_device_fused_end_to_end():
+    """Both passes on device: pass-1 token kernel -> XLA resolver;
+    shares the suite's 2048-step pass-1 compile bucket."""
+    import zlib
+
+    from libdeflate_rsx_tpu.ops.pallas.inflate_tokens import (
+        inflate_device_fused,
+    )
+
+    rng = np.random.default_rng(21)
+    datas = [
+        (rng.integers(97, 123, 50, dtype=np.uint8).tobytes() * 20)[:900],
+        bytes(600),
+        rng.integers(0, 256, 300, dtype=np.uint8).tobytes(),
+    ]
+    streams = [zlib.compress(d, 6)[2:-4] for d in datas]
+    streams.append(b"\xff\x07bad")          # invalid -> None
+    got = inflate_device_fused(streams, s=1, max_steps=2048,
+                               out_cap=2048)
+    assert got[:3] == datas
+    assert got[3] is None
+
+
+def test_batch_decompressor_device_resolve_routing():
+    """BatchDecompressor(use_device=True, resolve='device') routes
+    through inflate_device_fused and stays byte-exact."""
+    import zlib
+
+    from libdeflate_rsx_tpu.batch import BatchDecompressor
+
+    rng = np.random.default_rng(9)
+    datas = [(rng.integers(97, 123, 30 + i, dtype=np.uint8).tobytes()
+              * 10)[: 200 + 20 * i] for i in range(8)]
+    streams = [zlib.compress(d, 6)[2:-4] for d in datas]
+    out = BatchDecompressor(use_device=True,
+                            resolve="device").decompress_batch(
+        streams, [600] * len(streams))
+    assert out == datas
+
+
+def test_sharded_decompressor_device_resolve():
+    """ShardedDecompressor(resolve='device'): pass 2 runs as the
+    sharded XLA pass; byte-exact with per-item isolation."""
+    import zlib
+
+    from libdeflate_rsx_tpu.parallel import (
+        ShardedDecompressor,
+        stream_mesh,
+    )
+
+    rng = np.random.default_rng(5)
+    datas = [
+        (rng.integers(65, 91, 40 + i, dtype=np.uint8).tobytes()
+         * 12)[: 300 + 40 * i]
+        for i in range(5)
+    ]
+    streams = [zlib.compress(d, 6)[2:-4] for d in datas]
+    streams.append(b"\x99nope")
+    dec = ShardedDecompressor(stream_mesh(), max_steps=1024,
+                              resolve="device", out_cap=2048)
+    got = dec.decompress_batch(streams)
+    assert got[:5] == datas
+    assert got[5] is None
+
+
 def test_jit_under_vmap_shard_shapes():
     """resolve_batch_jax must trace cleanly under jit with a leading
     batch axis (the shard_map path maps it over mesh shards)."""
