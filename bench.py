@@ -53,9 +53,33 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _device_watchdog(seconds: float = 300.0):
+    """Abort instead of hanging forever if the accelerator tunnel is
+    down: PJRT init for the dev tunnel blocks with no timeout of its
+    own. The watchdog is disarmed as soon as devices are acquired."""
+    import threading
+
+    armed = threading.Event()
+
+    def boom():
+        if not armed.wait(seconds):
+            import sys
+            print("bench.py: device init exceeded "
+                  f"{seconds:.0f}s (tunnel down?) — aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(1)
+
+    threading.Thread(target=boom, daemon=True).start()
+    return armed
+
+
 def main() -> None:
+    disarm = _device_watchdog()
     import jax
     import jax.numpy as jnp
+
+    jax.devices()
+    disarm.set()
 
     from libdeflate_rsx_tpu.models.greedy_static import deflate_device_static
     from libdeflate_rsx_tpu.ops import encode_v2 as e2
