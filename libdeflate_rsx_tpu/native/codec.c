@@ -1388,6 +1388,11 @@ static int build_table(const uint8_t *lens, int nsym, int maxlen,
 #define T_EOB 2
 #define T_SUB 3
 #define T_LIT2 4
+/* invalid/unreachable slots: distinct type so the burst loop needs no
+ * per-literal len!=0 check (E_LEN stays 0, so the checked loops' !l
+ * tests keep catching it too) */
+#define T_BAD 5
+#define BAD_ENTRY ((int32_t)(T_BAD << 5))
 
 static int32_t sym_entry(int sym, int is_offset) {
     /* returns -1 for symbols with no valid decode (286/287, offsets
@@ -1413,7 +1418,10 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
         if (lens[i] > maxlen) maxlen = lens[i];
     }
     counts[0] = 0;
-    if (maxlen == 0) { memset(table, 0, sizeof(int32_t) << root_bits); return 0; }
+    if (maxlen == 0) {
+        for (int i = 0; i < (1 << root_bits); i++) table[i] = BAD_ENTRY;
+        return 0;
+    }
     int64_t used = 0;
     for (int l = 1; l <= 15; l++) used += (int64_t)counts[l] << (15 - l);
     if (used > (1 << 15)) return ERR_BADDATA;
@@ -1422,33 +1430,53 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
      * (reference src/decompress/mod.rs build_decode_table strictness) */
     if (used < (1 << 15) && maxlen != 1) return ERR_BADDATA;
     int root_size = 1 << root_bits;
-    memset(table, 0, sizeof(int32_t) * (size_t)root_size);
-    int next[17]; int code = 0;
-    for (int l = 1; l <= 15; l++) { code = (code + counts[l - 1]) << 1; next[l] = code; }
-    int next2[17];
-    memcpy(next2, next, sizeof next);
-    /* pre-pass: per-root-prefix max subtable bits for long codes */
+    for (int i = 0; i < root_size; i++) table[i] = BAD_ENTRY;
+    /* counting-sort symbols by code length, then walk codewords in
+     * canonical order keeping the BIT-REVERSED codeword incrementally
+     * (reversed-domain +1 = flip from the top bit down) — no O(len)
+     * reversal per symbol (the reference builds tables the same way,
+     * reference src/decompress/mod.rs:1324-1495) */
+    int offs[17];
+    offs[1] = 0;
+    for (int l = 1; l < 16; l++) offs[l + 1] = offs[l] + counts[l];
+    static __thread uint16_t sorted[NUM_LITLEN];
+    for (int sym = 0; sym < nsym; sym++)
+        if (lens[sym]) sorted[offs[lens[sym]]++] = (uint16_t)sym;
+    int nsorted = offs[15];
+    /* pre-pass: per-root-prefix max subtable bits for long codes —
+     * same canonical walk with the incrementally-maintained reversed
+     * codeword (a length increase appends a zero at the TOP of the
+     * reversed code, so the value carries over unchanged) */
     static __thread uint8_t submax[1 << 12];
     memset(submax, 0, (size_t)root_size);
-    for (int sym = 0; sym < nsym; sym++) {
-        int l = lens[sym];
-        if (l <= root_bits) { if (l) next[l]++; continue; }
-        int c = next[l]++;
-        int rev = 0;
-        for (int b = 0; b < l; b++) { rev = (rev << 1) | (c & 1); c >>= 1; }
-        int prefix = rev & (root_size - 1);
-        if (l - root_bits > submax[prefix]) submax[prefix] = (uint8_t)(l - root_bits);
+    {
+        int rev = 0, cl = 0;
+        for (int k = 0; k < nsorted; k++) {
+            int l = lens[sorted[k]];
+            if (l != cl) cl = l;
+            if (l > root_bits) {
+                int prefix = rev & (root_size - 1);
+                if (l - root_bits > submax[prefix])
+                    submax[prefix] = (uint8_t)(l - root_bits);
+            }
+            int bit = 1 << (cl - 1);
+            while (rev & bit) { rev ^= bit; bit >>= 1; }
+            rev |= bit;
+            if (!bit) break;
+        }
     }
     int alloc = root_size;
-    for (int sym = 0; sym < nsym; sym++) {
+    {
+    int rev = 0, cl = 0;
+    for (int k = 0; k < nsorted; k++) {
+        int sym = sorted[k];
         int l = lens[sym];
-        if (!l) continue;
-        int c = next2[l]++;
-        int rev = 0;
-        for (int b = 0; b < l; b++) { rev = (rev << 1) | (c & 1); c >>= 1; }
+        if (l != cl) cl = l;   /* reversed code value carries over */
         int32_t base_entry = sym_entry(sym, is_offset);
+        int advance_done = 0;
+        (void)advance_done;
         if (l <= root_bits) {
-            int32_t entry = base_entry >= 0 ? (base_entry | l) : 0;
+            int32_t entry = base_entry >= 0 ? (base_entry | l) : BAD_ENTRY;
             int step = 1 << l;
             for (int idx = rev; idx < root_size; idx += step)
                 table[idx] = entry;
@@ -1457,12 +1485,12 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
             int sub_bits = submax[prefix];
             int32_t re = table[prefix];
             int sub_base;
-            if (E_TYPE(re) != T_SUB || re == 0) {
+            if (E_TYPE(re) != T_SUB) {
                 sub_base = alloc;
                 alloc += 1 << sub_bits;
                 if (alloc > (1 << 15)) return ERR_BADDATA;
-                memset(table + sub_base, 0,
-                       sizeof(int32_t) << sub_bits);
+                for (int i = 0; i < (1 << sub_bits); i++)
+                    table[sub_base + i] = BAD_ENTRY;
                 table[prefix] = ((int32_t)sub_base << 16)
                     | (sub_bits << 8) | (T_SUB << 5);
             } else {
@@ -1470,10 +1498,18 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
             }
             int hi = rev >> root_bits;
             int step = 1 << (l - root_bits);
-            int32_t entry = base_entry >= 0 ? (base_entry | l) : 0;
+            int32_t entry = base_entry >= 0 ? (base_entry | l) : BAD_ENTRY;
             for (int idx = hi; idx < (1 << sub_bits); idx += step)
                 table[sub_base + idx] = entry;
         }
+        /* reversed increment at length cl */
+        {
+            int bit = 1 << (cl - 1);
+            while (rev & bit) { rev ^= bit; bit >>= 1; }
+            rev |= bit;
+            if (!bit && k + 1 < nsorted) return ERR_BADDATA;
+        }
+    }
     }
     if (!is_offset && pack_ok) {
         /* double-literal packing: when a root entry is a literal and
@@ -1488,7 +1524,7 @@ static int build_table2(const uint8_t *lens, int nsym, int root_bits,
         if (2 * min_lit > root_bits) return 0;
         for (int idx = root_size - 1; idx >= 0; idx--) {
             int32_t e1 = table[idx];
-            if (E_TYPE(e1) != T_LIT || !E_LEN(e1)) continue;
+            if (E_TYPE(e1) != T_LIT) continue;
             int l1 = E_LEN(e1);
             if (l1 >= root_bits) continue;
             int32_t e2 = table[idx >> l1];
@@ -1662,39 +1698,45 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                 uint32_t len, off;
                 for (;;) {
                     int ty = E_TYPE(e);
-                    if (ty == T_LIT) {
-                        if (!E_LEN(e)) return ERR_BADDATA;
-                        br_consume(&r, E_LEN(e));
-                        *op++ = (uint8_t)E_PAY(e);
-                    } else if (ty == T_LIT2) {
-                        br_consume(&r, E_LEN(e));
+                    if ((ty & 3) == 0) {
+                        /* T_LIT (0) / T_LIT2 (4) under ONE predicted
+                         * branch; second byte stored blind and the
+                         * pointer advanced by ty>>2 (0 or 1) so the
+                         * pair case costs no extra branch (the 400-
+                         * byte loop margin covers the over-store) */
+                        br_consume(&r, e & 31);
                         uint32_t pay = E_PAY(e);
-                        *op++ = (uint8_t)pay;
-                        *op++ = (uint8_t)(pay >> 8);
-                    } else if (ty == T_SUB) {
+                        op[0] = (uint8_t)pay;
+                        op[1] = (uint8_t)(pay >> 8);
+                        op += 1 + ((uint32_t)ty >> 2);
+                        /* literal burst: continue while the buffer
+                         * still covers a worst-case 15-bit codeword */
+                        if (r.n < 15) goto fast_continue;
+                        e = ll_table[(uint32_t)r.buf & LL_RMASK];
+                        continue;
+                    }
+                    if (ty == T_SUB) {
                         e = ll_table[E_PAY(e)
                             + ((uint32_t)(r.buf >> LL_ROOT)
                                & ((1u << E_EXTRA(e)) - 1))];
                         continue;
-                    } else if (ty == T_EOB) {
+                    }
+                    if (ty == T_EOB) {
                         br_consume(&r, E_LEN(e));
                         eob = 1;
                         goto fast_continue;
-                    } else { /* T_BASE: match length */
-                        br_consume(&r, E_LEN(e));
-                        /* mid-burst the buffer may be low; one refill
-                         * covers extras + the whole offset decode
-                         * (>=8 input bytes remain under the loop guard) */
-                        br_refill(&r);
-                        len = E_PAY(e)
-                            + ((uint32_t)r.buf & ((1u << E_EXTRA(e)) - 1));
-                        br_consume(&r, E_EXTRA(e));
-                        break;
                     }
-                    /* literal burst: continue while the buffer still
-                     * covers a worst-case 15-bit codeword */
-                    if (r.n < 15) goto fast_continue;
-                    e = ll_table[(uint32_t)r.buf & LL_RMASK];
+                    if (ty == T_BAD) return ERR_BADDATA;
+                    /* T_BASE: match length */
+                    br_consume(&r, E_LEN(e));
+                    /* mid-burst the buffer may be low; one refill
+                     * covers extras + the whole offset decode
+                     * (>=8 input bytes remain under the loop guard) */
+                    br_refill(&r);
+                    len = E_PAY(e)
+                        + ((uint32_t)r.buf & ((1u << E_EXTRA(e)) - 1));
+                    br_consume(&r, E_EXTRA(e));
+                    break;
                 }
                 int32_t oe = of_table[(uint32_t)r.buf & 255];
                 if (E_TYPE(oe) == T_SUB)
