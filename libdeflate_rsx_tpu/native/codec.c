@@ -91,10 +91,12 @@ static void init_tables(void) {
 
 static inline int off2sym(uint32_t off) {
     if (off <= 256) return OFF2SYM_SMALL[off];
-    /* offsets 257..32768: binary-search-free via leading zeros */
-    int s = 29;
-    while (OFF_BASE[s] > off) s--;
-    return s;
+    /* offsets 257..32768 closed-form: symbol ranges double per pair,
+     * so with k = bsr(off-1) the symbol is 2k plus the bit below the
+     * top one (RFC 1951 offset code structure) */
+    uint32_t o1 = off - 1;
+    int k = 31 - __builtin_clz(o1);
+    return 2 * k + (int)((o1 >> (k - 1)) & 1);
 }
 
 /* ------------------------------------------------------------------ */
@@ -879,9 +881,15 @@ static void optimal_parse(const uint8_t *buf, int64_t bstart,
     cost[n] = 0;
     for (int64_t i = n - 1; i >= 0; i--) {
         int64_t p = bstart + i;
-        uint32_t best = ll_cost[buf[p]] + cost[i + 1];
-        uint16_t bl = 1;
-        uint32_t bo = 0;
+        /* relax as one u64 min-reduction over packed
+         * (cost << 24 | offset << 9 | len) values — the fields cannot
+         * carry into each other (len < 512, offset < 32768 shifted
+         * clear of len, block cost < 2^40), so the numeric minimum is
+         * the cheapest choice with smaller offset/len as tie-breaks;
+         * a single min chain lets the compiler use vpminuq lanes where
+         * the scalar compare-and-branch version could not vectorize */
+        uint64_t bestp =
+            ((uint64_t)(ll_cost[buf[p]] + cost[i + 1]) << 24) | 1;
         const Cand *c = cands + (size_t)i * MAXC;
         uint32_t prev_len = 2;
         for (int k = 0; k < ncand[i]; k++) {
@@ -893,15 +901,16 @@ static void optimal_parse(const uint8_t *buf, int64_t bstart,
              * may end before a candidate's full reach */
             uint32_t lmax = c[k].len;
             if (lmax > (uint32_t)(n - i)) lmax = (uint32_t)(n - i);
+            uint64_t qq = ((uint64_t)oc << 24) + ((uint64_t)off << 9);
             for (uint32_t l = prev_len + 1; l <= lmax; l++) {
-                uint32_t cc = lenc[l] + oc + cp[l];
-                if (cc < best) { best = cc; bl = (uint16_t)l; bo = off; }
+                uint64_t v = qq + ((uint64_t)(lenc[l] + cp[l]) << 24) + l;
+                if (v < bestp) bestp = v;
             }
             prev_len = c[k].len;
         }
-        cost[i] = best;
-        choice_len[i] = bl;
-        choice_off[i] = bo;
+        cost[i] = (uint32_t)(bestp >> 24);
+        choice_len[i] = (uint16_t)(bestp & 0x1FF);
+        choice_off[i] = (uint32_t)((bestp >> 9) & 0x7FFF);
     }
     (void)n_total;
 }
