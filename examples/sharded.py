@@ -47,5 +47,13 @@ outs = dec.decompress_batch(streams)
 assert all(o is not None for o in outs)
 print(f"sharded decode: {len(outs)} streams OK")
 
+# resolve="device" keeps pass 2 (LZ copy resolution) on the chips as a
+# sharded XLA pointer-doubling pass — only decoded bytes leave the mesh
+dec_dev = ShardedDecompressor(mesh, max_steps=4096, resolve="device",
+                              out_cap=16384)
+outs2 = dec_dev.decompress_batch(streams)
+assert outs2 == outs
+print(f"sharded decode (device resolve): {len(outs2)} streams OK")
+
 print(f"compressed {len(data)} -> {len(framed)} bytes "
       f"({len(data) / len(framed):.2f}x) across {mesh.devices.size} devices")

@@ -37,23 +37,67 @@ _LINK_MIN_BPS = 200e6
 _link_ok: bool | None = None
 
 
+def _probe_link() -> bool:
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    buf = np.zeros(1 << 22, np.uint8)           # 4 MiB
+    dev = jax.device_put(buf)
+    dev.block_until_ready()                     # warm path
+    t0 = time.perf_counter()
+    dev = jax.device_put(buf)
+    np.asarray(dev + jnp.uint8(0))              # force both ways
+    dt = time.perf_counter() - t0
+    return (2 * len(buf) / dt) >= _LINK_MIN_BPS
+
+
 def _link_fast_enough() -> bool:
-    """One-time probe of the host<->device link (cached per process)."""
+    """One-time probe of the host<->device link (cached per process).
+
+    The probe runs in a SUBPROCESS with a hard deadline: device-plugin
+    init blocks with NO timeout of its own when the accelerator is
+    unreachable (a dev tunnel outage), and it does not release the GIL
+    while blocking, so neither a thread join nor a signal can recover
+    the calling process. The auto-offload probe must never hang the
+    caller — an unreachable device is just a slow link (False). If THIS
+    process already initialized a jax backend, the in-process probe is
+    safe (init already succeeded) and measures the live link."""
     global _link_ok
     if _link_ok is None:
-        try:
-            import time
+        import sys
 
-            import jax
-            import jax.numpy as jnp
-            buf = np.zeros(1 << 22, np.uint8)           # 4 MiB
-            dev = jax.device_put(buf)
-            dev.block_until_ready()                     # warm path
-            t0 = time.perf_counter()
-            dev = jax.device_put(buf)
-            np.asarray(dev + jnp.uint8(0))              # force both ways
-            dt = time.perf_counter() - t0
-            _link_ok = (2 * len(buf) / dt) >= _LINK_MIN_BPS
+        try:
+            already = "jax" in sys.modules and \
+                sys.modules["jax"]._src.xla_bridge._backends
+        except Exception:
+            already = False
+        if already:
+            try:
+                import jax
+                _link_ok = (jax.default_backend() != "cpu"
+                            and _probe_link())
+            except Exception:
+                _link_ok = False
+            return _link_ok
+        import subprocess
+
+        code = (
+            "import numpy as np, time, jax, jax.numpy as jnp\n"
+            "assert jax.default_backend() != 'cpu'\n"
+            "buf = np.zeros(1 << 22, np.uint8)\n"
+            "dev = jax.device_put(buf); dev.block_until_ready()\n"
+            "t0 = time.perf_counter()\n"
+            "dev = jax.device_put(buf)\n"
+            "np.asarray(dev + jnp.uint8(0))\n"
+            "dt = time.perf_counter() - t0\n"
+            f"print(int(2 * len(buf) / dt >= {_LINK_MIN_BPS}))\n"
+        )
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=60.0)
+            _link_ok = r.returncode == 0 and \
+                r.stdout.strip().endswith(b"1")
         except Exception:
             _link_ok = False
     return _link_ok
@@ -99,14 +143,11 @@ class BatchCompressor:
         # CPU backend would lose to the native host codec — AND the
         # host<->device link is fast enough that the transfer doesn't
         # swamp the device compute (a slow development tunnel measured
-        # ~25-45 MB/s turns offload into a 1000x cliff)
-        try:
-            import jax
-            if jax.default_backend() == "cpu":
-                return False
-            return _link_fast_enough()
-        except Exception:
-            return False
+        # ~25-45 MB/s turns offload into a 1000x cliff). Decided by the
+        # one-time probe, which must NOT touch jax backend init in this
+        # process (init blocks forever, GIL held, when the tunnel is
+        # down) — see _link_fast_enough.
+        return _link_fast_enough()
 
     def _compress_one_device(self, data: bytes) -> bytes:
         if self.level in DEVICE_LEVELS_STORED:
