@@ -101,9 +101,18 @@ def main() -> None:
     ap.add_argument("--no-silesia", action="store_true")
     ap.add_argument("--only-device", action="store_true",
                     help="run just the device groups (fast re-measure)")
+    ap.add_argument("--groups", default=None,
+                    help="comma list of group prefixes to (re)run, e.g. "
+                         "'compress,decompress' — other groups keep "
+                         "their committed rows (results merge by name)")
     args = ap.parse_args()
     if args.only_device:
         args.device = True
+    want = ([g.strip() for g in args.groups.split(",")]
+            if args.groups else None)
+
+    def group_on(g):
+        return want is None or g in want
 
     import libdeflate_rsx_tpu as ld
 
@@ -120,7 +129,7 @@ def main() -> None:
         sizes = {}
     # -- Compress (host engine) -------------------------------------------
     levels = [1, 6] if args.quick else [1, 6, 9, 10, 12]
-    for name, size in sizes.items():
+    for name, size in sizes.items() if group_on("compress") else []:
         data = pattern(size)
         for level in levels:
             if level >= 10 and size > (1 << 20):
@@ -136,7 +145,7 @@ def main() -> None:
 
     # -- Decompress (host C decoder; sources from several levels) ----------
     dec_levels = [6] if args.quick else [1, 6, 9]
-    for name, size in sizes.items():
+    for name, size in sizes.items() if group_on("decompress") else []:
         data = pattern(size)
         for lvl in dec_levels:
             comp = zlib.compress(data, lvl)[2:-4]
@@ -148,7 +157,8 @@ def main() -> None:
             rec("decompress", f"level{lvl}/{name}", size, secs, zsecs, lsecs)
 
     # -- Checksums ----------------------------------------------------------
-    for name, size in [] if args.only_device else [
+    for name, size in [] if (args.only_device
+                             or not group_on("checksums")) else [
                        ("large", 4 << 20), ("micro", 4096), ("nano", 64),
                        ("tail", 1031), ("unaligned", (1 << 20) + 1)]:
         data = pattern(size)
@@ -162,7 +172,7 @@ def main() -> None:
         rec("adler32", name, size, secs, zsecs, lsecs)
 
     # -- Per-offset decode (reference offsets 1..64 sweep) ------------------
-    offsets = [] if args.only_device else (
+    offsets = [] if (args.only_device or not group_on("offset")) else (
         [3, 8, 18] if args.quick else list(range(1, 65)))
     for off in offsets:
         base = bytes((37 * i + 11) % 256 for i in range(off))
@@ -178,7 +188,8 @@ def main() -> None:
 
     # -- Batch ---------------------------------------------------------------
     chunks = [pattern(32 << 10, seed=i) for i in range(32)]
-    for level in () if args.only_device else (1, 6):
+    for level in () if (args.only_device
+                        or not group_on("batch")) else (1, 6):
         bc = ld.BatchCompressor(level=level)
         secs = timeit(bc.compress_batch, chunks)
         zsecs = timeit(lambda cs: [zlib.compress(c, level) for c in cs],
@@ -191,7 +202,7 @@ def main() -> None:
         comp_chunks = []
     else:
         comp_chunks = [zlib.compress(c, 6)[2:-4] for c in chunks]
-    if not args.only_device:
+    if not args.only_device and group_on("batch"):
         caps = [32 << 10] * len(chunks)
         bd = ld.BatchDecompressor()
         secs = timeit(bd.decompress_batch, comp_chunks, caps)
@@ -203,6 +214,7 @@ def main() -> None:
         rec("batch", "decompress/32x32KB", 32 * (32 << 10), secs, zsecs,
             lsecs)
 
+    if not args.only_device and group_on("stream"):
         # -- Stream -----------------------------------------------------------
         data = pattern(2 << 20)
 
@@ -244,7 +256,8 @@ def main() -> None:
             zsecs)
 
     # -- Silesia-like corpus (BASELINE.md headline metric) --------------------
-    if not args.no_silesia and not args.only_device:
+    if (not args.no_silesia and not args.only_device
+            and group_on("silesia")):
         members = corpus_files(args.quick)
         for level in ([6] if args.quick else [1, 6, 9, 12]):
             tot = {"n": 0, "ours": 0.0, "zlib": 0.0, "ld": 0.0,
