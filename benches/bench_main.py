@@ -499,6 +499,50 @@ def main() -> None:
         dec_row("decompress/16x64KB/sustained", 16)
         dec_row("decompress/128x64KB/sustained", 128)
 
+        def dec_row_fused(name, n_streams):
+            """FULL device decode: pass-1 token kernel + the on-device
+            LZ resolution pass (ops/resolve.py) in one jit — decoded
+            bytes are the only output (the pass-1-only rows above
+            isolate the entropy kernel for comparability)."""
+            cs = [pattern(BLOCK - 1024, seed=i) for i in range(n_streams)]
+            za = [zlib.compress(c, 6)[2:-4] for c in cs]
+            zb = [zlib.compress(pattern(BLOCK - 1024, seed=500 + i),
+                                6)[2:-4] for i in range(n_streams)]
+            # correctness gate end-to-end through the public wrapper
+            outs2 = itk.inflate_device_fused(za, max_steps=72 * 1024)
+            assert outs2 == cs
+            groups2 = max(1, -(-n_streams // 128))
+            ia, wa_, _, _ = itk.pack_streams(za, 1)
+            ib_, wb_, _, _ = itk.pack_streams(zb, 1)
+            consts = itk._consts(1)
+            run = itk._jit_pass1(groups2, 1, 72 * 1024)
+            res = itk._jit_resolve_tok(groups2, 1, 65536)
+            ja, jwa = jnp.asarray(ia), jnp.asarray(wa_)
+            jb, jwb = jnp.asarray(ib_), jnp.asarray(wb_)
+
+            @jax.jit
+            def probe_f(la_, wa2, lb_, wb2):
+                def body(i, acc):
+                    l_ = jnp.where(i % 2 == 0, la_, lb_)
+                    w_ = jnp.where(i % 2 == 0, wa2, wb2)
+                    toks, stats = run(l_, *consts, w_)
+                    outb, outlen, okf = res(toks)
+                    return (acc + outlen.sum()
+                            + outb.reshape(-1)[0].astype(jnp.int32)
+                            + stats[:, 1].sum())
+                return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
+
+            int(probe_f(ja, jwa, jb, jwb))
+            secs = max(
+                best_of(lambda: int(probe_f(ja, jwa, jb, jwb))) - 0.03,
+                1e-9) / K_DEV
+            tot2 = sum(len(c) for c in cs)
+            zsecs2 = timeit(lambda xs: [zlib.decompress(c, -15)
+                                        for c in xs], za)
+            rec("device", name, tot2, secs, zsecs2)
+
+        dec_row_fused("decompress/128x64KB/fused-sustained", 128)
+
         from libdeflate_rsx_tpu.ops import checksums as dcs
 
         data = pattern(8 << 20)
