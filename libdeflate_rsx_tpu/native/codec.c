@@ -1736,15 +1736,23 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                         goto fast_continue;
                     }
                     if (ty == T_BAD) return ERR_BADDATA;
-                    /* T_BASE: match length */
-                    br_consume(&r, E_LEN(e));
-                    /* mid-burst the buffer may be low; one refill
-                     * covers extras + the whole offset decode
-                     * (>=8 input bytes remain under the loop guard) */
+                    /* T_BASE: match length. One refill covers the
+                     * whole match worst case (15+5 length + 15+13
+                     * offset = 48 <= 56 bits); code and extra bits
+                     * are consumed in ONE shift each with the values
+                     * extracted from the saved buffer (the
+                     * saved-bitbuf trick of the reference's fast
+                     * loop, reference src/decompress/mod.rs:628-770),
+                     * halving the serial shift chain per match. */
                     br_refill(&r);
-                    len = E_PAY(e)
-                        + ((uint32_t)r.buf & ((1u << E_EXTRA(e)) - 1));
-                    br_consume(&r, E_EXTRA(e));
+                    {
+                        uint64_t sv = r.buf;
+                        int cl = E_LEN(e), ce = E_EXTRA(e);
+                        br_consume(&r, cl + ce);
+                        len = E_PAY(e)
+                            + ((uint32_t)(sv >> cl)
+                               & ((1u << ce) - 1));
+                    }
                     break;
                 }
                 int32_t oe = of_table[(uint32_t)r.buf & 255];
@@ -1753,10 +1761,14 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                         + ((uint32_t)(r.buf >> 8)
                            & ((1u << E_EXTRA(oe)) - 1))];
                 if (!E_LEN(oe)) return ERR_BADDATA;
-                br_consume(&r, E_LEN(oe));
-                off = E_PAY(oe)
-                    + ((uint32_t)r.buf & ((1u << E_EXTRA(oe)) - 1));
-                br_consume(&r, E_EXTRA(oe));
+                {
+                    uint64_t sv = r.buf;
+                    int ol = E_LEN(oe), oex = E_EXTRA(oe);
+                    br_consume(&r, ol + oex);
+                    off = E_PAY(oe)
+                        + ((uint32_t)(sv >> ol)
+                           & ((1u << oex) - 1));
+                }
                 if ((int64_t)off > op - out) return ERR_BADDATA;
                 const uint8_t *src = op - off;
                 uint8_t *dst = op;
