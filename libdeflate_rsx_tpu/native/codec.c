@@ -2363,15 +2363,38 @@ int icx_finished(const void *p) {
     return ((const ICtx *)p)->state == ICX_DONE;
 }
 
-static inline void icx_put(ICtx *c, uint8_t *dst, uint8_t b) {
-    *dst = b;
-    c->window[c->wpos & 32767] = b;
-    c->wpos++;
-    c->total_out++;
+/* fold this step's output into the ring history in ONE bulk pass at
+ * step exit (the previous design mirrored every byte into the ring as
+ * it was written — a second store per output byte that capped the
+ * whole streaming decoder at ~0.2 GB/s) */
+static inline void icx_sync(ICtx *c, const uint8_t *out,
+                            const uint8_t *op) {
+    int64_t m = op - out;
+    c->total_out += m;
+    if (!m) return;
+    int64_t take = m > 32768 ? 32768 : m;
+    const uint8_t *sp = op - take;
+    uint32_t w = (c->wpos + (uint32_t)(m - take)) & 32767;
+    int64_t first = 32768 - w;
+    if (first > take) first = take;
+    memcpy(c->window + w, sp, (size_t)first);
+    memcpy(c->window, sp + first, (size_t)(take - first));
+    c->wpos = (uint32_t)((w + take) & 32767);
 }
 
-/* checked refill that never reads past `end` */
+/* checked refill that never reads past `end`: one whole-word load when
+ * 8 input bytes exist (the hot case — the burst refills every ~7
+ * symbols and a byte loop here was measured to halve literal-heavy
+ * throughput), byte loop at the stream tail */
 static inline void icx_refill(BitR *r) {
+    if (r->end - r->in >= 8) {
+        uint64_t w;
+        memcpy(&w, r->in, 8);
+        r->buf |= w << r->n;
+        r->in += (63 - r->n) >> 3;
+        r->n |= 56;
+        return;
+    }
     while (r->n <= 56 && r->in < r->end) {
         r->buf |= (uint64_t)(*r->in++) << r->n;
         r->n += 8;
@@ -2388,10 +2411,12 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
 
 #define ICX_SAVE_RET(code) do { \
         c->bitbuf = r.buf; c->bitcnt = r.n; \
+        icx_sync(c, out, op); \
         *in_used = r.in - in; *out_written = op - out; \
         return (code); } while (0)
 #define ICX_RESTORE_RET(code) do { \
         c->bitbuf = snap_buf; c->bitcnt = snap_n; \
+        icx_sync(c, out, op); \
         *in_used = snap_in - in; *out_written = op - out; \
         return (code); } while (0)
 
@@ -2403,49 +2428,58 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
             c->bitbuf = r.buf & ((back < 8) ? ((1ull << (r.n & 7)) - 1)
                                             : ~0ull);
             c->bitcnt = r.n & 7;
+            icx_sync(c, out, op);
             *in_used = (r.in - in) - back;
             *out_written = op - out;
             return 0;
         }
         if (c->state == ICX_MATCH) {
-            int32_t dist = c->match_dist;
-            /* bulk path: word copies straight through the ring when
-             * neither source nor destination range wraps and the
-             * overlap period is >= 8 */
+            int64_t dist = c->match_dist;
             for (;;) {
-                /* bulk region leaves 8 bytes of slack on every range
-                 * (out, ring src, ring dst) so 8-wide stores may
-                 * overshoot; ring overshoot lands on future positions
-                 * that are always rewritten before becoming readable */
-                int64_t n = c->match_len;
-                uint32_t soff = (c->wpos - (uint32_t)dist) & 32767;
-                uint32_t doff = c->wpos & 32767;
-                if (n > (oend - op) - 8) n = (oend - op) - 8;
-                if (n > 32768 - 8 - (int64_t)soff)
-                    n = 32768 - 8 - (int64_t)soff;
-                if (n > 32768 - 8 - (int64_t)doff)
-                    n = 32768 - 8 - (int64_t)doff;
-                if (n >= 8 && dist >= 8) {
-                    uint8_t *srcw = c->window + soff;
-                    uint8_t *dstw = c->window + doff;
-                    for (int64_t k = 0; k < n; k += 8) {
-                        memcpy(dstw + k, srcw + k, 8);
-                        memcpy(op + k, srcw + k, 8);
+                int64_t nrem = c->match_len;
+                if (!nrem) break;
+                int64_t room = oend - op;
+                if (room <= 0) ICX_SAVE_RET(2);
+                int64_t nn = nrem < room ? nrem : room;
+                int64_t back_here = op - out;
+                if (dist <= back_here) {
+                    /* source entirely inside this step's output:
+                     * inflate_c-style copy (no ring involved) */
+                    const uint8_t *sp = op - dist;
+                    uint8_t *dst = op;
+                    uint8_t *lim = op + nn;
+                    if (dist >= 8 && room - nn >= 8) {
+                        do {
+                            memcpy(dst, sp, 8);
+                            dst += 8; sp += 8;
+                        } while (dst < lim);
+                    } else if (dist < 8 && room - nn >= 16) {
+                        uint8_t pat[16];
+                        for (int k = 0; k < 16; k++)
+                            pat[k] = sp[k % dist];
+                        int64_t adv = dist * (16 / dist);
+                        do {
+                            memcpy(dst, pat, 16);
+                            dst += adv;
+                        } while (dst < lim);
+                    } else {
+                        while (dst < lim) *dst++ = *sp++;
                     }
-                    op += n;
-                    c->wpos += (uint32_t)n;
-                    c->total_out += n;
-                    c->match_len -= (int32_t)n;
+                    op = lim;
+                    c->match_len -= (int32_t)nn;
                 } else {
-                    while (c->match_len > 0 && op < oend) {
-                        uint8_t b =
-                            c->window[(c->wpos - (uint32_t)dist) & 32767];
-                        icx_put(c, op++, b);
-                        c->match_len--;
-                    }
+                    /* reaches into pre-step history: copy the ring
+                     * segment (static during the step, never overlaps
+                     * the output) up to its contiguous run */
+                    int64_t hk = dist - back_here;
+                    uint32_t spos = (c->wpos - (uint32_t)hk) & 32767;
+                    int64_t take = nn < hk ? nn : hk;
+                    int64_t contig = 32768 - spos;
+                    if (take > contig) take = contig;
+                    memcpy(op, c->window + spos, (size_t)take);
+                    op += take;
+                    c->match_len -= (int32_t)take;
                 }
-                if (c->match_len == 0) break;
-                if (op >= oend) ICX_SAVE_RET(2);
             }
             c->state = ICX_BODY;
             continue;
@@ -2453,13 +2487,13 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
         if (c->state == ICX_STORED) {
             while (c->stored_rem > 0 && r.n >= 8) {
                 if (op >= oend) ICX_SAVE_RET(2);
-                icx_put(c, op++, (uint8_t)br_bits(&r, 8));
+                *op++ = (uint8_t)br_bits(&r, 8);
                 br_consume(&r, 8);
                 c->stored_rem--;
             }
             while (c->stored_rem > 0 && r.in < r.end) {
                 if (op >= oend) ICX_SAVE_RET(2);
-                icx_put(c, op++, *r.in++);
+                *op++ = *r.in++;
                 c->stored_rem--;
             }
             if (c->stored_rem > 0) ICX_SAVE_RET(1);
@@ -2560,6 +2594,101 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
             c->state = ICX_BODY;
             continue;
         }
+        /* ICX_BODY fast burst: while a full word refill is available
+         * and output has room, decode literal runs with no per-symbol
+         * snapshot — no suspension can trigger inside (every decode is
+         * covered by the n>=15 invariant), and every exit leaves the
+         * reader at a symbol boundary for the checked path to resume.
+         * Matches/EOB fall through to the per-symbol machinery (the
+         * ring-buffer bulk copier amortizes their entry cost). */
+        while (r.end - r.in >= 16 && op < oend) {
+            br_refill(&r);
+            int32_t e = c->ll_tab[(uint32_t)r.buf & LL_RMASK];
+            for (;;) {
+                if (E_TYPE(e) == T_SUB) {
+                    e = c->ll_tab[E_PAY(e)
+                        + ((uint32_t)(r.buf >> LL_ROOT)
+                           & ((1u << E_EXTRA(e)) - 1))];
+                    continue;
+                }
+                if (E_TYPE(e) == T_LIT) {
+                    br_consume(&r, E_LEN(e));
+                    *op++ = (uint8_t)E_PAY(e);
+                    if (r.n < 15 || op >= oend) goto burst_spin;
+                    e = c->ll_tab[(uint32_t)r.buf & LL_RMASK];
+                    continue;
+                }
+                break;
+            }
+            /* inline match: decode + copy without the per-symbol
+             * snapshot machinery when bits and output room suffice
+             * (48-bit worst case after one refill; 274 = 258 max len
+             * + 16-byte copy overshoot) */
+            if (E_TYPE(e) == T_BASE && oend - op >= 274) {
+                br_refill(&r);
+                if (r.n < 48) break;
+                uint32_t len, dist;
+                {
+                    uint64_t sv = r.buf;
+                    int cl = E_LEN(e), ce = E_EXTRA(e);
+                    br_consume(&r, cl + ce);
+                    len = E_PAY(e)
+                        + ((uint32_t)(sv >> cl) & ((1u << ce) - 1));
+                }
+                int32_t oe = c->of_tab[(uint32_t)r.buf & 255];
+                if (E_TYPE(oe) == T_SUB)
+                    oe = c->of_tab[E_PAY(oe)
+                        + ((uint32_t)(r.buf >> 8)
+                           & ((1u << E_EXTRA(oe)) - 1))];
+                if (!E_LEN(oe)) ICX_SAVE_RET(-1);
+                {
+                    uint64_t sv = r.buf;
+                    int ol = E_LEN(oe), oex = E_EXTRA(oe);
+                    br_consume(&r, ol + oex);
+                    dist = E_PAY(oe)
+                        + ((uint32_t)(sv >> ol) & ((1u << oex) - 1));
+                }
+                if ((int64_t)dist > c->total_out + (op - out))
+                    ICX_SAVE_RET(-1);
+                if ((int64_t)dist <= op - out) {
+                    /* source inside this step's output: copy with the
+                     * one-shot decoder's tiers (overshoot covered) */
+                    const uint8_t *sp = op - dist;
+                    uint8_t *dst = op;
+                    op += len;
+                    if (dist >= 16) {
+                        do {
+                            memcpy(dst, sp, 16);
+                            dst += 16; sp += 16;
+                        } while (dst < op);
+                    } else if (dist == 1) {
+                        memset(dst, *sp, len + 15);
+                    } else {
+                        uint8_t pat[16];
+                        for (int k = 0; k < 16; k++)
+                            pat[k] = sp[k % dist];
+                        int adv = (16 / (int)dist) * (int)dist;
+                        do {
+                            memcpy(dst, pat, 16);
+                            dst += adv;
+                        } while (dst < op);
+                    }
+                    continue;
+                }
+                /* reaches pre-step history: the state machine's ring
+                 * path handles it */
+                c->match_len = (int32_t)len;
+                c->match_dist = (int32_t)dist;
+                c->state = ICX_MATCH;
+                goto burst_state;
+            }
+            break;
+burst_spin:;
+        }
+        if (0) {
+burst_state:;
+            continue;
+        }
         /* ICX_BODY: one symbol per iteration, checked reads */
         {
             const uint8_t *snap_in = r.in;
@@ -2578,7 +2707,7 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
             if (ty == T_LIT) {
                 if (op >= oend) ICX_RESTORE_RET(2);
                 br_consume(&r, l);
-                icx_put(c, op++, (uint8_t)E_PAY(e));
+                *op++ = (uint8_t)E_PAY(e);
                 continue;
             }
             if (ty == T_EOB) {
@@ -2606,7 +2735,8 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
             br_consume(&r, ol);
             uint32_t dist = E_PAY(oe) + br_bits(&r, oeb);
             br_consume(&r, oeb);
-            if ((int64_t)dist > c->total_out) ICX_SAVE_RET(-1);
+            if ((int64_t)dist > c->total_out + (op - out))
+                ICX_SAVE_RET(-1);
             c->match_len = (int32_t)len;
             c->match_dist = (int32_t)dist;
             c->state = ICX_MATCH;
