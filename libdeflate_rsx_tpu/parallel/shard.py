@@ -282,6 +282,42 @@ class ShardedCompressor:
         return results
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_pass1(mesh, per_dev: int, max_steps: int, n_consts: int):
+    """Composed jit(shard_map(pass-1)) cached by configuration: a fresh
+    closure per call would force a full retrace AND recompile of the
+    composed graph every decompress_batch (minutes on the CPU test
+    backend, ~30 s on a chip)."""
+    from ..ops.pallas import inflate_tokens as it
+
+    run = it._jit_pass1(per_dev, 1, max_steps)
+
+    def shard_fn(ib, *rest):
+        return run(ib, *rest)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS),) + (P(),) * n_consts + (P(AXIS),),
+        out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_resolve(mesh, per_dev: int, out_cap: int):
+    """Composed jit(shard_map(resolver)) cached by configuration."""
+    from ..ops.resolve import resolve_batch_jax
+
+    lanes = 128
+
+    def local(toks):                 # (per_dev, nf, TC, 1, 128)
+        t = jnp.transpose(toks, (0, 3, 4, 1, 2))
+        t = t.reshape(per_dev * lanes, -1)
+        return resolve_batch_jax(t, out_cap)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(AXIS),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)), check_vma=False))
+
+
 class ShardedDecompressor:
     """Data-parallel batch DEFLATE decode over a mesh.
 
@@ -325,17 +361,10 @@ class ShardedDecompressor:
                 [words, np.zeros((pad,) + words.shape[1:], np.int32)])
         per_dev = gpad // self.n_devices
         consts = it._consts(1)
-        run = it._jit_pass1(per_dev, 1, self.max_steps)
         sharding = NamedSharding(self.mesh, P(AXIS))
         repl = NamedSharding(self.mesh, P())
-
-        def shard_fn(ib, *rest):
-            return run(ib, *rest)
-
-        fn = jax.jit(jax.shard_map(
-            shard_fn, mesh=self.mesh,
-            in_specs=(P(AXIS),) + (P(),) * len(consts) + (P(AXIS),),
-            out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+        fn = _sharded_pass1(self.mesh, per_dev, self.max_steps,
+                            len(consts))
         toks_dev, stats_dev = fn(
             jax.device_put(jnp.asarray(inbits), sharding),
             *[jax.device_put(c, repl) for c in consts],
@@ -371,19 +400,10 @@ class ShardedDecompressor:
         (no collectives), so each chip resolves the token groups it
         decoded; only the decoded bytes are fetched."""
         from ..ops.pallas import inflate_tokens as it
-        from ..ops.resolve import resolve_batch_jax
 
         lanes = 128
         out_cap = self.out_cap
-
-        def local(toks):                 # (per_dev, nf, TC, 1, 128)
-            t = jnp.transpose(toks, (0, 3, 4, 1, 2))
-            t = t.reshape(per_dev * lanes, -1)
-            return resolve_batch_jax(t, out_cap)
-
-        fn = jax.jit(jax.shard_map(
-            local, mesh=self.mesh, in_specs=P(AXIS),
-            out_specs=(P(AXIS), P(AXIS), P(AXIS)), check_vma=False))
+        fn = _sharded_resolve(self.mesh, per_dev, out_cap)
         out_dev, outlen_dev, okr_dev = fn(toks_dev)
         out_h = np.asarray(out_dev)
         len_h = np.asarray(outlen_dev)
