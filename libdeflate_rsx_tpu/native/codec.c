@@ -548,13 +548,18 @@ static int build_dyn_header(const uint8_t *ll_lens, const uint8_t *of_lens,
 
 static void write_block(BitW *w, const uint8_t *data, int64_t start,
                         int64_t end, const Seq *seqs, int nseq,
-                        const uint8_t *lits, int final) {
+                        int final) {
+    /* literals are read straight from the input via the seq walk
+     * (litrun literals, then len match bytes, per seq) — the previous
+     * side buffer cost a store per literal in the parse loop plus two
+     * extra passes here */
     /* frequencies */
     uint64_t llf[NUM_LITLEN] = {0}, off_f[NUM_OFFSET] = {0};
     {
-        const uint8_t *lp = lits;
+        const uint8_t *lp = data + start;
         for (int s = 0; s < nseq; s++) {
-            for (uint32_t k = 0; k < seqs[s].litrun; k++) llf[*lp++]++;
+            for (uint32_t k = 0; k < seqs[s].litrun; k++) llf[lp[k]]++;
+            lp += seqs[s].litrun + seqs[s].len;
             if (seqs[s].len) {
                 llf[257 + LEN2SYM[seqs[s].len]]++;
                 off_f[off2sym(seqs[s].off)]++;
@@ -656,7 +661,7 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
             | ((uint32_t)(l - LEN_BASE[s2]) << cl);
         lenb[l] = (uint8_t)(cl + LEN_EXTRA[s2]);
     }
-    const uint8_t *lp = lits;
+    const uint8_t *lp = data + start;
 #if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
     {
         uint64_t bb = w->buf;
@@ -694,6 +699,7 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
                 bb |= (uint64_t)(of_codes[os]
                         | ((o - OFF_BASE[os]) << of_lens[os])) << nb;
                 nb += of_lens[os] + OFF_EXTRA[os];
+                lp += l;
             }
             continue;
         spill:
@@ -716,6 +722,7 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
                     bw_put(w, of_codes[os], of_lens[os]);
                     if (OFF_EXTRA[os])
                         bw_put(w, seqs[s].off - OFF_BASE[os], OFF_EXTRA[os]);
+                    lp += seqs[s].len;
                 }
                 bw_flushbytes(w);
             }
@@ -746,6 +753,7 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
             bw_put(w, of_codes[os], of_lens[os]);
             if (OFF_EXTRA[os])
                 bw_put(w, seqs[s].off - OFF_BASE[os], OFF_EXTRA[os]);
+            lp += seqs[s].len;
         }
         bw_flushbytes(w);
     }
@@ -941,12 +949,11 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
     uint32_t *choice_off = malloc(sizeof(uint32_t) * (size_t)maxb);
     uint32_t *cost = malloc(sizeof(uint32_t) * ((size_t)maxb + 1));
     Seq *seqs = malloc(sizeof(Seq) * ((size_t)maxb / 3 + 16));
-    uint8_t *lits = malloc((size_t)maxb + 16);
     bt.child = malloc(sizeof(int32_t) * 2 * MF_RING);
     if (!cands || !ncand || !choice_len || !choice_off || !cost
-            || !seqs || !lits || !bt.child) {
+            || !seqs || !bt.child) {
         free(cands); free(ncand); free(choice_len); free(choice_off);
-        free(cost); free(seqs); free(lits); free(bt.child);
+        free(cost); free(seqs); free(bt.child);
         return ERR_BADDATA;
     }
     for (int64_t i = 0; i < hist_len; i++)
@@ -1017,7 +1024,7 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
         uint8_t llc[NUM_LITLEN], ofc[NUM_OFFSET];
         static_lens(llc, ofc);
         int nseq = 0;
-        int64_t nlit = 0;
+
         int npass = level >= 12 ? 5 : (level == 11 ? 3 : 2);
         for (int pass = 0; pass < npass; pass++) {
             /* level 10 (the DP family's speed tier): the cost-seeding
@@ -1032,13 +1039,12 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
             optimal_parse(buf, bstart, pend, n, llc, ofc, cands,
                           ncand, choice_len, choice_off, cost);
             /* walk the chosen path into sequences */
-            nseq = 0; nlit = 0;
+            nseq = 0;
             uint32_t litrun = 0;
             uint64_t llf[NUM_LITLEN] = {0}, off_f[NUM_OFFSET] = {0};
             int64_t i = 0;
             while (i < pn) {
                 if (choice_off[i] == 0) {
-                    lits[nlit++] = buf[bstart + i];
                     llf[buf[bstart + i]]++;
                     litrun++;
                     i += 1;
@@ -1072,12 +1078,12 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
         }
         int final = (flush == 2) && (bend == n);
         if (!w.error)
-            write_block(&w, buf, bstart, bend, seqs, nseq, lits, final);
+            write_block(&w, buf, bstart, bend, seqs, nseq, final);
         if (w.overflow || w.error) break;
         bstart = bend;
     }
     free(cands); free(ncand); free(choice_len); free(choice_off);
-    free(cost); free(seqs); free(lits); free(bt.child);
+    free(cost); free(seqs); free(bt.child);
     if (w.error) return w.error;
     if (w.overflow) return ERR_SPACE;
 
@@ -1138,13 +1144,12 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
         for (int64_t i = 0; i < hist_len; i++) mf_insert(&mf, i);
 
         static __thread Seq seqs[SOFT_BLOCK / 3 + 16];
-        static __thread uint8_t lits[SOFT_BLOCK + 16];
 
         int64_t bstart = hist_len;
         while (bstart < n) {
             int64_t bend = bstart + SOFT_BLOCK < n ? bstart + SOFT_BLOCK : n;
             int nseq = 0;
-            int64_t nlit = 0;
+    
             uint32_t litrun = 0;
             int64_t i = bstart;
             uint32_t held_len = 0, held_off = 0;
@@ -1224,7 +1229,6 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                     int better = len > held_len ||
                         (mf.lazy2 && len == held_len && off && off < held_off);
                     if (better && held_len < (uint32_t)mf.nice) {
-                        lits[nlit++] = buf[i - 1];
                         litrun++;
                         split_obs_lit(&sp, buf[i - 1]);
                         held_len = len; held_off = off;
@@ -1268,7 +1272,6 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                         mf_insert(&mf, q);
                     i = stop;
                 } else {
-                    lits[nlit++] = buf[i];
                     litrun++;
                     split_obs_lit(&sp, buf[i]);
                     i++;
@@ -1287,7 +1290,7 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                 nseq++;
             }
             int final = (flush == 2) && (bend == n);
-            write_block(&w, buf, bstart, bend, seqs, nseq, lits, final);
+            write_block(&w, buf, bstart, bend, seqs, nseq, final);
             if (w.error) return w.error;
             if (w.overflow) return ERR_SPACE;
             bstart = bend;
