@@ -109,16 +109,20 @@ def test_truncated_stream_raises():
 
 def test_multi_chunk_history_crosses_chunks():
     # 600 KB forces multiple 256 KB chunks; repeated data straddling the
-    # chunk boundary must still decode (history handoff correctness)
-    base = make_corpus("text", 100000)
-    data = base * 6
+    # chunk boundary must still decode (history handoff correctness).
+    # The repeat period must be < the 32 KB DEFLATE window or history
+    # cannot help at all (a 100 KB period made this assert a brittle
+    # proxy for absolute ratio rather than a history check).
+    base = make_corpus("text", 20000)
+    data = base * 30
     sink = io.BytesIO()
     with DeflateEncoder(sink, level=6) as enc:
         enc.write(data)
     comp = sink.getvalue()
     assert zlib.decompress(comp, -15) == data
-    # cross-chunk history should make chunk 2+ cheaper than chunk 1
-    assert len(comp) < len(zlib.compress(base, 6)) * 6
+    # with history carried across chunk flushes, copies 2..30 compress
+    # to near-pure matches (measured ~0.31x of 30 independent copies)
+    assert len(comp) < len(zlib.compress(base, 6)) * 30 // 2
 
 
 def test_empty_flush_emits_sync_marker():
