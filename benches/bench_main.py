@@ -259,7 +259,10 @@ def main() -> None:
     if (not args.no_silesia and not args.only_device
             and group_on("silesia")):
         members = corpus_files(args.quick)
-        for level in ([6] if args.quick else [1, 6, 9, 12]):
+        # levels {1,6,9,10} are the reference's head-to-head set
+        # (reference benches/bench_main.rs:977-1028); 12 adds our
+        # max-ratio tier
+        for level in ([6] if args.quick else [1, 6, 9, 10, 12]):
             tot = {"n": 0, "ours": 0.0, "zlib": 0.0, "ld": 0.0,
                    "ours_c": 0, "zlib_c": 0, "ld_c": 0}
             for mname, data in members:
