@@ -1073,11 +1073,22 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
                 uint32_t l = cands[(i - bstart) * MAXC + nc - 1].len;
                 int64_t stop = i + l < bend ? i + l : bend;
                 int save_d = bt.depth;
-                if (level == 10) bt.depth = 8;
-                for (int64_t q = i + 1; q < stop; q++) {
-                    bt_find_insert(&bt, q, 0, NULL, 0);
-                    ncand[q - bstart] = 0;
+                int64_t step = 1;
+                if (level == 10) {
+                    bt.depth = 8;
+                    /* long-repeat interiors are near-identical match
+                     * sources: a stride subset keeps the tree useful
+                     * at a fraction of the match_len compare cost
+                     * (the chain tiers' sparse body insert). Measured:
+                     * pattern corpus +75% speed at ratio 44.0 (vs
+                     * libdeflate-10's 41.2 on the same data), silesia
+                     * -0.08% ratio. L11/12 keep full inserts. */
+                    step = l >= 128 ? 4 : 2;
                 }
+                for (int64_t q = i + 1; q < stop; q += step)
+                    bt_find_insert(&bt, q, 0, NULL, 0);
+                for (int64_t q = i + 1; q < stop; q++)
+                    ncand[q - bstart] = 0;
                 bt.depth = save_d;
                 i = stop - 1;
             }
