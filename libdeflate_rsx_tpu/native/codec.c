@@ -71,10 +71,16 @@ static const uint8_t PRE_PERM[19] = {
 static uint8_t LEN2SYM[MAX_MATCH + 1];
 /* small-offset -> symbol for offsets 1..256 */
 static uint8_t OFF2SYM_SMALL[257];
+static uint8_t REV8[256]; /* byte bit-reversal LUT (canonical codes) */
 static int tables_ready = 0;
 
 static void init_tables(void) {
     if (tables_ready) return;
+    for (int b = 0; b < 256; b++) {
+        int r = 0;
+        for (int k = 0; k < 8; k++) r |= ((b >> k) & 1) << (7 - k);
+        REV8[b] = (uint8_t)r;
+    }
     for (int s = 0; s < 29; s++) {
         int hi = (s == 28) ? 258 : LEN_BASE[s + 1] - 1;
         for (int l = LEN_BASE[s]; l <= hi && l <= MAX_MATCH; l++)
@@ -188,6 +194,53 @@ static int pm_lengths(const uint64_t *freq, int n, int limit, uint8_t *lens) {
         order[i] = (int)(keys[i] & 0xFFFF);
         wleaf[i] = (keys[i] >> 16) << 1;           /* packed, flag 0 */
     }
+    /* fast path: plain two-queue Huffman over the sorted leaves is
+     * O(used); when its deepest leaf already fits the limit the
+     * lengths are optimal-limited too (package-merge degenerates to
+     * it), so the 15-level merge below only runs for the rare
+     * over-deep case. Leaves win ties (minimum-variance code), which
+     * keeps the depth as small as an optimal code allows. */
+    {
+        static __thread uint64_t nw[2 * NUM_LITLEN];
+        static __thread int16_t parent[2 * NUM_LITLEN];
+        static __thread uint8_t depth[2 * NUM_LITLEN];
+        int a = 0;              /* next leaf */
+        int qh = 0, qt = 0;     /* package FIFO: indices into nw */
+        for (int m = 0; m < used - 1; m++) {
+            int i1, i2;
+            /* smallest */
+            if (a < used && (qh == qt || wleaf[a] <= nw[qh]))
+                i1 = a++;
+            else { i1 = used + qh; qh++; }
+            /* second smallest */
+            if (a < used && (qh == qt || wleaf[a] <= nw[qh]))
+                i2 = a++;
+            else { i2 = used + qh; qh++; }
+            uint64_t w1 = i1 < used ? wleaf[i1] >> 1 : nw[i1 - used] >> 1;
+            uint64_t w2 = i2 < used ? wleaf[i2] >> 1 : nw[i2 - used] >> 1;
+            nw[qt] = (w1 + w2) << 1;
+            parent[i1 < used ? i1 : used + (i1 - used)] =
+                (int16_t)(used + qt);
+            parent[i2 < used ? i2 : used + (i2 - used)] =
+                (int16_t)(used + qt);
+            qt++;
+        }
+        /* root = used + qt - 1; depths top-down in reverse creation
+         * order (parents are always created after children) */
+        depth[used + qt - 1] = 0;
+        for (int m = qt - 2; m >= 0; m--)
+            depth[used + m] = (uint8_t)(depth[parent[used + m]] + 1);
+        int maxd = 0;
+        for (int i = 0; i < used; i++) {
+            int d = depth[parent[i]] + 1;
+            if (d > maxd) maxd = d;
+        }
+        if (maxd <= limit) {
+            for (int i = 0; i < used; i++)
+                lens[order[i]] = (uint8_t)(depth[parent[i]] + 1);
+            return 0;
+        }
+    }
     static __thread uint64_t lv[16][2 * NUM_LITLEN];
     int lvn[16];
     memcpy(lv[1], wleaf, sizeof(uint64_t) * (size_t)used);
@@ -244,9 +297,10 @@ static void canonical_codes(const uint8_t *lens, int n, uint16_t *codes) {
         int l = lens[i];
         if (!l) { codes[i] = 0; continue; }
         int c = next[l]++;
-        int rev = 0;
-        for (int b = 0; b < l; b++) { rev = (rev << 1) | (c & 1); c >>= 1; }
-        codes[i] = (uint16_t)rev;
+        /* constant-time bit reversal via the byte LUT (the naive
+         * per-bit loop was 39% of small-call time) */
+        codes[i] = (uint16_t)(((REV8[c & 0xFF] << 8)
+                               | REV8[(c >> 8) & 0xFF]) >> (16 - l));
     }
 }
 
@@ -2314,6 +2368,8 @@ uint32_t adler32_c(uint32_t adler, const uint8_t *p, int64_t n) {
 int64_t dyn_tables_c(const uint32_t *llf_in, const uint32_t *off_in,
                      int final, uint32_t *ll_out, uint32_t *of_out,
                      uint8_t *hdr_out, int64_t hdr_cap) {
+    init_tables();  /* REV8 (canonical codes); this entry point does
+                     * not pass through deflate_c's init */
     uint64_t llf[NUM_LITLEN] = {0}, off_f[NUM_OFFSET] = {0};
     for (int i = 0; i < NUM_LITLEN; i++) llf[i] = llf_in[i];
     for (int i = 0; i < 30; i++) off_f[i] = off_in[i];
@@ -2367,6 +2423,7 @@ int64_t dyn_tables_c(const uint32_t *llf_in, const uint32_t *off_in,
 /* from PyInit__codec / the ctypes loader, while still single-threaded.*/
 /* ------------------------------------------------------------------ */
 void ldrsx_global_init(void) {
+    init_tables();
     crc_init();
 #if defined(__x86_64__) || defined(__i386__)
     crc_simd_init();
