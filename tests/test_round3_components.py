@@ -163,3 +163,96 @@ def test_batch_decompressor_device_routes_lockstep():
         streams, [600 for _ in streams])
     assert out[:8] == datas
     assert out[8] is None
+
+
+# --------------------------------------- dyn header self-consistency
+def test_dyn_tables_header_matches_tables():
+    """The device dynamic tier's host step (dyn_tables_c) must emit a
+    header whose RLE-decoded code lengths are Kraft-complete and agree
+    with the code tables it hands the device emitter. Regression for a
+    class of bug where an entry point skipped table init and serialized
+    garbage codes (caught by the device fuzz; reduced here without the
+    device pipeline so it runs in milliseconds)."""
+    import random
+
+    import numpy as np
+
+    from libdeflate_rsx_tpu.native import dyn_tables_native
+
+    if dyn_tables_native(np.zeros(288, np.uint32) + 1,
+                         np.zeros(30, np.uint32), True) is None:
+        pytest.skip("no native library")
+
+    order = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2,
+             14, 1, 15]
+
+    def decode_header(hdr_bytes):
+        bits = np.unpackbits(np.frombuffer(hdr_bytes, np.uint8),
+                             bitorder="little")
+        pos = 0
+
+        def get(n):
+            nonlocal pos
+            v = int(bits[pos:pos + n] @ (1 << np.arange(n)))
+            pos += n
+            return v
+
+        get(3)  # BFINAL | BTYPE
+        hlit, hdist, hclen = get(5) + 257, get(5) + 1, get(4) + 4
+        pre = [0] * 19
+        for k in range(hclen):
+            pre[order[k]] = get(3)
+        codes = {}
+        code = 0
+        for le in range(1, 8):
+            for s in range(19):
+                if pre[s] == le:
+                    codes[(le, code)] = s
+                    code += 1
+            code <<= 1
+
+        def dp():
+            le, c = 0, 0
+            while True:
+                c = (c << 1) | get(1)
+                le += 1
+                if (le, c) in codes:
+                    return codes[(le, c)]
+                assert le <= 7, "invalid precode bits"
+
+        lens = []
+        while len(lens) < hlit + hdist:
+            s = dp()
+            if s < 16:
+                lens.append(s)
+            elif s == 16:
+                lens += [lens[-1]] * (3 + get(2))
+            elif s == 17:
+                lens += [0] * (3 + get(3))
+            else:
+                lens += [0] * (11 + get(7))
+        assert len(lens) == hlit + hdist
+        return lens[:hlit], lens[hlit:]
+
+    rng = random.Random(9)
+    for _ in range(60):
+        used_ll = rng.randint(1, 286)
+        used_of = rng.randint(0, 30)
+        llf = np.zeros(288, np.uint32)
+        off = np.zeros(30, np.uint32)
+        for i in rng.sample(range(286), used_ll):
+            llf[i] = rng.choice([1, 2, 65535, 2 ** rng.randint(0, 20)])
+        for i in rng.sample(range(30), used_of):
+            off[i] = rng.choice([1, 2, 65535, 2 ** rng.randint(0, 20)])
+        ll_tab, of_tab, hdr, bits = dyn_tables_native(llf, off, True)
+        ll, of = decode_header(hdr)
+        kraft_ll = sum(2.0 ** -l for l in ll if l)
+        assert abs(kraft_ll - 1) < 1e-12, "litlen set not complete"
+        nz_of = [l for l in of if l]
+        if len(nz_of) > 1:
+            assert abs(sum(2.0 ** -l for l in nz_of) - 1) < 1e-12
+        # header lens must match the emit tables (code|len<<16)
+        for s, le in enumerate(ll):
+            assert (ll_tab[s] >> 16) == le
+        for s, le in enumerate(of):
+            assert (of_tab[s] >> 16) == le
