@@ -1955,11 +1955,29 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                 uint8_t *dst = op;
                 op += len;
                 if (off >= 32) {
-                    /* the common case on binary data first */
-                    do {
-                        memcpy(dst, src, 16);
-                        dst += 16; src += 16;
-                    } while (dst < op);
+                    /* the common case on binary data first. When the
+                     * copy wraps (len > off) a contiguous 16B loop
+                     * catches its own stores at an unaligned lag
+                     * (store-forward stall: 0.6 GB/s at off 37) —
+                     * double the pattern instead: each stage's copy is
+                     * non-overlapping and avail stays a multiple of
+                     * off, preserving the period. */
+                    int64_t avail = off;
+                    for (;;) {
+                        int64_t rem = op - dst;
+                        if (avail < rem) {
+                            memcpy(dst, dst - avail, (size_t)avail);
+                            dst += avail;
+                            avail <<= 1;
+                        } else {
+                            const uint8_t *s2 = dst - avail;
+                            do {
+                                memcpy(dst, s2, 16);
+                                dst += 16; s2 += 16;
+                            } while (dst < op);
+                            break;
+                        }
+                    }
                 } else if (off == 1) {
                     memset(dst, *src, (size_t)(op - dst) + 15);
                 } else if (off < 16) {
