@@ -2875,13 +2875,40 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
                     uint8_t *dst = op;
                     op += len;
                     if (dist >= 16) {
-                        do {
-                            memcpy(dst, sp, 16);
-                            dst += 16; sp += 16;
-                        } while (dst < op);
+                        /* same hazards as the one-shot decoder: a
+                         * wrapped contiguous copy store-forward
+                         * stalls, so double the pattern (non-
+                         * overlapping stages, avail multiple of dist) */
+                        int64_t avail = dist;
+                        for (;;) {
+                            int64_t rem = op - dst;
+                            if (avail < rem) {
+                                memcpy(dst, dst - avail, (size_t)avail);
+                                dst += avail;
+                                avail <<= 1;
+                            } else {
+                                const uint8_t *s2 = dst - avail;
+                                do {
+                                    memcpy(dst, s2, 16);
+                                    dst += 16; s2 += 16;
+                                } while (dst < op);
+                                break;
+                            }
+                        }
                     } else if (dist == 1) {
                         memset(dst, *sp, len + 15);
                     } else {
+#if defined(__SSSE3__)
+                        __m128i pv = _mm_shuffle_epi8(
+                            _mm_loadu_si128((const __m128i *)sp),
+                            _mm_load_si128(
+                                (const __m128i *)PAT_MASK16[dist]));
+                        int adv = (16 / (int)dist) * (int)dist;
+                        do {
+                            _mm_storeu_si128((__m128i *)dst, pv);
+                            dst += adv;
+                        } while (dst < op);
+#else
                         uint8_t pat[16];
                         for (int k = 0; k < 16; k++)
                             pat[k] = sp[k % dist];
@@ -2890,6 +2917,7 @@ int64_t icx_step(void *p, const uint8_t *in, int64_t in_len,
                             memcpy(dst, pat, 16);
                             dst += adv;
                         } while (dst < op);
+#endif
                     }
                     continue;
                 }
