@@ -85,3 +85,32 @@ def test_batch_larger_than_one_group():
 def test_stored_block_roundtrip():
     d = make_corpus("random", 500, seed=5)
     assert _run([_z(d, 0)]) == [d]
+
+
+@pytest.mark.skipif("LDRSX_SLOW_TESTS" not in __import__("os").environ,
+                    reason="~5 min interpret-mode compile for the s=2 "
+                           "step bucket; set LDRSX_SLOW_TESTS=1 to run "
+                           "(validated 256/256 byte-exact in session 3)")
+def test_sublane_s2_lockstep():
+    """S=2 sublane packing (256 streams per grid cell) must decode
+    byte-exactly. Uses the 1024-step bucket: the 2048-step bucket's
+    interpret-mode compile exceeds practical CPU budgets at s=2."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    raws = []
+    for i in range(256):
+        n = int(rng.integers(60, 300))
+        if i % 3 == 0:
+            raw = bytes(rng.integers(97, 103, n).astype(np.uint8))
+        elif i % 3 == 1:
+            raw = (b"abcabcabd" * 40)[:n]
+        else:
+            raw = bytes(rng.integers(0, 256, n).astype(np.uint8))
+        raws.append(raw)
+    streams = [_z(r) for r in raws]
+    from libdeflate_rsx_tpu.ops.pallas.inflate_tokens import (
+        inflate_device_tokens)
+
+    res = inflate_device_tokens(streams, s=2, max_steps=1024)
+    assert res == raws
