@@ -26,6 +26,13 @@ import sys
 import time
 import zlib
 
+# persistent XLA compile cache: over the dev tunnel a single fresh jit
+# can cost 30-60 s server-side, and the device groups carry dozens —
+# without this the --only-device run starves before its first row
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", ".jax_cache"))
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -105,6 +112,10 @@ def main() -> None:
                     help="comma list of group prefixes to (re)run, e.g. "
                          "'compress,decompress' — other groups keep "
                          "their committed rows (results merge by name)")
+    ap.add_argument("--rows", default=None,
+                    help="substring filter over DEVICE row names (e.g. "
+                         "'fused'); unmeasured device rows keep their "
+                         "committed values (merge switches to by-name)")
     args = ap.parse_args()
     if args.only_device:
         args.device = True
@@ -113,6 +124,9 @@ def main() -> None:
 
     def group_on(g):
         return want is None or g in want
+
+    def row_on(name_sub):
+        return args.rows is None or args.rows in name_sub
 
     import libdeflate_rsx_tpu as ld
 
@@ -360,222 +374,228 @@ def main() -> None:
         K_DEV = 4
 
         BLOCK, ROWS, UNROLL = 65536, 16, 4
-        size = UNROLL * ROWS * BLOCK
-        data = pattern(size)
-        # correctness gate for both tiers (end-to-end through zlib)
-        assert zlib.decompress(
-            deflate_device_static(data[: 4 * BLOCK], BLOCK), -15) \
-            == data[: 4 * BLOCK]
-        assert zlib.decompress(
-            deflate_device_dynamic(data[: 4 * BLOCK], BLOCK), -15) \
-            == data[: 4 * BLOCK]
+        if row_on("compress/static-tier") or row_on("compress/dynamic-tier"):
+            size = UNROLL * ROWS * BLOCK
+            data = pattern(size)
+            # correctness gate for both tiers (end-to-end through zlib)
+            assert zlib.decompress(
+                deflate_device_static(data[: 4 * BLOCK], BLOCK), -15) \
+                == data[: 4 * BLOCK]
+            assert zlib.decompress(
+                deflate_device_dynamic(data[: 4 * BLOCK], BLOCK), -15) \
+                == data[: 4 * BLOCK]
 
-        arr = np.zeros((UNROLL, ROWS, BLOCK + e2.BLOCK_PAD), np.uint8)
-        arr[:, :, :BLOCK] = np.frombuffer(data, np.uint8).reshape(
-            UNROLL, ROWS, BLOCK)
-        a = jnp.asarray(arr)
-        v = jnp.asarray(np.full((UNROLL, ROWS), BLOCK, np.int32))
-        fin = jnp.asarray(np.zeros((UNROLL, ROWS), bool))
-        enc = e2.jit_encoder_scan(BLOCK, UNROLL)
-
-        @jax.jit
-        def probe_static(a_, v_, f_):
-            def body(i, acc):
-                o = enc(a_ + i.astype(jnp.uint8), v_, f_)
-                return acc + o[4].sum() + o[0].reshape(-1)[0].astype(
-                    jnp.int32)
-            return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
-
-        int(probe_static(a, v, fin))
-        secs = max(best_of(lambda: int(probe_static(a, v, fin))) - 0.03,
-                   1e-9) / K_DEV
-        zsecs = timeit(lambda d: zlib.compress(d, 1), data)
-        rec("device", "compress/static-tier/sustained", size, secs, zsecs)
-
-        # dynamic tier: jit A + host tables + jit B, device-resident
-        a2 = a[0]
-        v2 = v[0]
-        ja = jit_analyze(BLOCK)
-        je = jit_emit(BLOCK)
-        outA = ja(a2, v2)
-        jax.block_until_ready(outA)
-        finals = np.zeros(ROWS, bool)
-        ll, of, hdrs, hb = build_tables_host(outA[4], outA[5], finals)
-        llj, ofj = jnp.asarray(ll), jnp.asarray(of)
-        hbj = jnp.asarray(hb.astype(np.int32))
-
-        @jax.jit
-        def probe_dynA(a_, v_):
-            def body(i, acc):
-                o = ja(a_ + i.astype(jnp.uint8), v_)
-                return acc + o[4].sum() + o[0].reshape(-1)[0]
-            return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
-
-        @jax.jit
-        def probe_dynB(a_, *rest):
-            def body(i, acc):
-                o = je(a_ + i.astype(jnp.uint8), *rest)
-                return acc + o[3].sum() + o[0].reshape(-1)[0].astype(
-                    jnp.int32)
-            return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
-
-        int(probe_dynA(a2, v2))
-        tA = max(best_of(lambda: int(probe_dynA(a2, v2))) - 0.03,
-                 1e-9) / K_DEV
-        args_b = (outA[0], outA[1], outA[2], outA[3], llj, ofj, hbj)
-        int(probe_dynB(a2, *args_b))
-        tB = max(best_of(lambda: int(probe_dynB(a2, *args_b))) - 0.03,
-                 1e-9) / K_DEV
-        # host table step, batched: production (BatchCompressor /
-        # deflate_device_dynamic_many) fetches the histograms for the
-        # WHOLE batch in one transfer, paying the dev link's ~26 ms
-        # round-trip latency once instead of per chunk
-        NBATCH = 8
-        outA_b = ja(jnp.concatenate([a2 + k for k in range(NBATCH)]),
-                    jnp.concatenate([v2] * NBATCH))
-        jax.block_until_ready(outA_b)
-        finals_b = np.zeros(ROWS * NBATCH, bool)
-        t0 = time.perf_counter()
-        build_tables_host(outA_b[4], outA_b[5], finals_b)
-        tH = (time.perf_counter() - t0) / NBATCH
-        chunk = ROWS * BLOCK
-        secs = tA + tB + tH
-        zsecs = timeit(lambda d: zlib.compress(d, 6), data[:chunk])
-        tdata = corpus_files(True)[0][1]            # dickens
-        comp = deflate_device_dynamic(tdata)
-        scomp = deflate_device_static(tdata)
-        rec("device", "compress/dynamic-tier/sustained", chunk, secs,
-            zsecs, extra={
-                "dickens_ratio": round(len(tdata) / len(comp), 3),
-                "static_ratio": round(len(tdata) / len(scomp), 3),
-                "zlib6_ratio": round(
-                    len(tdata) / len(zlib.compress(tdata, 6)), 3),
-                # breakdown: tA/tB are device phases, tH is the batched
-                # host table step INCLUDING the dev link's histogram
-                # fetch (~1 MB/s tunnel here; ~us on a PCIe host)
-                "tA_ms": round(tA * 1e3, 2),
-                "tB_ms": round(tB * 1e3, 2),
-                "tH_host+link_ms": round(tH * 1e3, 2)})
-
-        # batch decode: lockstep two-pass decoder (pass-1 entropy decode
-        # on device; ops/pallas/inflate_tokens.py). TWO input sets
-        # alternate inside the loop so XLA cannot hoist the kernel.
-        # 16x64KB keeps round-2 comparability (only 16 of 128 VPU lanes
-        # occupied); 128x64KB is the decoder's design batch.
-        from libdeflate_rsx_tpu.ops.pallas import inflate_tokens as itk
-        chunks = [pattern(BLOCK - 1024, seed=i) for i in range(16)]
-        comps = [zlib.compress(c, 6)[2:-4] for c in chunks]
-        outs = itk.inflate_device_tokens(comps)
-        assert all(o == c for o, c in zip(outs, chunks))
-
-        def dec_row(name, n_streams):
-            cs = [pattern(BLOCK - 1024, seed=i) for i in range(n_streams)]
-            za = [zlib.compress(c, 6)[2:-4] for c in cs]
-            zb = [zlib.compress(pattern(BLOCK - 1024, seed=500 + i),
-                                6)[2:-4] for i in range(n_streams)]
-            ia, wa_, _, _ = itk.pack_streams(za, 1)
-            ib_, wb_, _, _ = itk.pack_streams(zb, 1)
-            consts = itk._consts(1)
-            run = itk._jit_pass1(max(1, -(-n_streams // 128)), 1,
-                                 72 * 1024)
-            ja, jwa = jnp.asarray(ia[0]), jnp.asarray(wa_[0])
-            jb, jwb = jnp.asarray(ib_[0]), jnp.asarray(wb_[0])
+            arr = np.zeros((UNROLL, ROWS, BLOCK + e2.BLOCK_PAD), np.uint8)
+            arr[:, :, :BLOCK] = np.frombuffer(data, np.uint8).reshape(
+                UNROLL, ROWS, BLOCK)
+            a = jnp.asarray(arr)
+            v = jnp.asarray(np.full((UNROLL, ROWS), BLOCK, np.int32))
+            fin = jnp.asarray(np.zeros((UNROLL, ROWS), bool))
+            enc = e2.jit_encoder_scan(BLOCK, UNROLL)
 
             @jax.jit
-            def probe_dec(la_, wa2, lb_, wb2):
+            def probe_static(a_, v_, f_):
                 def body(i, acc):
-                    l_ = jnp.where(i % 2 == 0, la_, lb_)
-                    w_ = jnp.where(i % 2 == 0, wa2, wb2)
-                    toks, stats = run(l_[None], *consts, w_[None])
-                    return acc + stats[:, 1].sum() + toks[0, 0, 0, 0, 0]
+                    o = enc(a_ + i.astype(jnp.uint8), v_, f_)
+                    return acc + o[4].sum() + o[0].reshape(-1)[0].astype(
+                        jnp.int32)
                 return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
-            int(probe_dec(ja, jwa, jb, jwb))
-            secs = max(
-                best_of(lambda: int(probe_dec(ja, jwa, jb, jwb))) - 0.03,
-                1e-9) / K_DEV
-            tot2 = sum(len(c) for c in cs)
-            zsecs2 = timeit(lambda xs: [zlib.decompress(c, -15)
-                                        for c in xs], za)
-            rec("device", name, tot2, secs, zsecs2)
+            int(probe_static(a, v, fin))
+            secs = max(best_of(lambda: int(probe_static(a, v, fin))) - 0.03,
+                       1e-9) / K_DEV
+            zsecs = timeit(lambda d: zlib.compress(d, 1), data)
+            rec("device", "compress/static-tier/sustained", size, secs, zsecs)
 
-        dec_row("decompress/16x64KB/sustained", 16)
-        dec_row("decompress/128x64KB/sustained", 128)
-
-        def dec_row_fused(name, n_streams):
-            """FULL device decode: pass-1 token kernel + the on-device
-            LZ resolution pass (ops/resolve.py) in one jit — decoded
-            bytes are the only output (the pass-1-only rows above
-            isolate the entropy kernel for comparability)."""
-            cs = [pattern(BLOCK - 1024, seed=i) for i in range(n_streams)]
-            za = [zlib.compress(c, 6)[2:-4] for c in cs]
-            zb = [zlib.compress(pattern(BLOCK - 1024, seed=500 + i),
-                                6)[2:-4] for i in range(n_streams)]
-            # correctness gate end-to-end through the public wrapper
-            outs2 = itk.inflate_device_fused(za, max_steps=72 * 1024)
-            assert outs2 == cs
-            groups2 = max(1, -(-n_streams // 128))
-            ia, wa_, _, _ = itk.pack_streams(za, 1)
-            ib_, wb_, _, _ = itk.pack_streams(zb, 1)
-            consts = itk._consts(1)
-            run = itk._jit_pass1(groups2, 1, 72 * 1024)
-            res = itk._jit_resolve_tok(groups2, 1, 65536)
-            ja, jwa = jnp.asarray(ia), jnp.asarray(wa_)
-            jb, jwb = jnp.asarray(ib_), jnp.asarray(wb_)
+            # dynamic tier: jit A + host tables + jit B, device-resident
+            a2 = a[0]
+            v2 = v[0]
+            ja = jit_analyze(BLOCK)
+            je = jit_emit(BLOCK)
+            outA = ja(a2, v2)
+            jax.block_until_ready(outA)
+            finals = np.zeros(ROWS, bool)
+            ll, of, hdrs, hb = build_tables_host(outA[4], outA[5], finals)
+            llj, ofj = jnp.asarray(ll), jnp.asarray(of)
+            hbj = jnp.asarray(hb.astype(np.int32))
 
             @jax.jit
-            def probe_f(la_, wa2, lb_, wb2):
+            def probe_dynA(a_, v_):
                 def body(i, acc):
-                    l_ = jnp.where(i % 2 == 0, la_, lb_)
-                    w_ = jnp.where(i % 2 == 0, wa2, wb2)
-                    toks, stats = run(l_, *consts, w_)
-                    outb, outlen, okf = res(toks)
-                    return (acc + outlen.sum()
-                            + outb.reshape(-1)[0].astype(jnp.int32)
-                            + stats[:, 1].sum())
+                    o = ja(a_ + i.astype(jnp.uint8), v_)
+                    return acc + o[4].sum() + o[0].reshape(-1)[0]
                 return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
-            int(probe_f(ja, jwa, jb, jwb))
-            secs = max(
-                best_of(lambda: int(probe_f(ja, jwa, jb, jwb))) - 0.03,
-                1e-9) / K_DEV
-            tot2 = sum(len(c) for c in cs)
-            zsecs2 = timeit(lambda xs: [zlib.decompress(c, -15)
-                                        for c in xs], za)
-            rec("device", name, tot2, secs, zsecs2)
+            @jax.jit
+            def probe_dynB(a_, *rest):
+                def body(i, acc):
+                    o = je(a_ + i.astype(jnp.uint8), *rest)
+                    return acc + o[3].sum() + o[0].reshape(-1)[0].astype(
+                        jnp.int32)
+                return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
-        dec_row_fused("decompress/128x64KB/fused-sustained", 128)
+            int(probe_dynA(a2, v2))
+            tA = max(best_of(lambda: int(probe_dynA(a2, v2))) - 0.03,
+                     1e-9) / K_DEV
+            args_b = (outA[0], outA[1], outA[2], outA[3], llj, ofj, hbj)
+            int(probe_dynB(a2, *args_b))
+            tB = max(best_of(lambda: int(probe_dynB(a2, *args_b))) - 0.03,
+                     1e-9) / K_DEV
+            # host table step, batched: production (BatchCompressor /
+            # deflate_device_dynamic_many) fetches the histograms for the
+            # WHOLE batch in one transfer, paying the dev link's ~26 ms
+            # round-trip latency once instead of per chunk
+            NBATCH = 8
+            outA_b = ja(jnp.concatenate([a2 + k for k in range(NBATCH)]),
+                        jnp.concatenate([v2] * NBATCH))
+            jax.block_until_ready(outA_b)
+            finals_b = np.zeros(ROWS * NBATCH, bool)
+            t0 = time.perf_counter()
+            build_tables_host(outA_b[4], outA_b[5], finals_b)
+            tH = (time.perf_counter() - t0) / NBATCH
+            chunk = ROWS * BLOCK
+            secs = tA + tB + tH
+            zsecs = timeit(lambda d: zlib.compress(d, 6), data[:chunk])
+            tdata = corpus_files(True)[0][1]            # dickens
+            comp = deflate_device_dynamic(tdata)
+            scomp = deflate_device_static(tdata)
+            rec("device", "compress/dynamic-tier/sustained", chunk, secs,
+                zsecs, extra={
+                    "dickens_ratio": round(len(tdata) / len(comp), 3),
+                    "static_ratio": round(len(tdata) / len(scomp), 3),
+                    "zlib6_ratio": round(
+                        len(tdata) / len(zlib.compress(tdata, 6)), 3),
+                    # breakdown: tA/tB are device phases, tH is the batched
+                    # host table step INCLUDING the dev link's histogram
+                    # fetch (~1 MB/s tunnel here; ~us on a PCIe host)
+                    "tA_ms": round(tA * 1e3, 2),
+                    "tB_ms": round(tB * 1e3, 2),
+                    "tH_host+link_ms": round(tH * 1e3, 2)})
 
-        from libdeflate_rsx_tpu.ops import checksums as dcs
+        if row_on("decompress/"):
+            # batch decode: lockstep two-pass decoder (pass-1 entropy decode
+            # on device; ops/pallas/inflate_tokens.py). TWO input sets
+            # alternate inside the loop so XLA cannot hoist the kernel.
+            # 16x64KB keeps round-2 comparability (only 16 of 128 VPU lanes
+            # occupied); 128x64KB is the decoder's design batch.
+            from libdeflate_rsx_tpu.ops.pallas import inflate_tokens as itk
+            chunks = [pattern(BLOCK - 1024, seed=i) for i in range(16)]
+            comps = [zlib.compress(c, 6)[2:-4] for c in chunks]
+            outs = itk.inflate_device_tokens(comps)
+            assert all(o == c for o, c in zip(outs, chunks))
 
-        data = pattern(8 << 20)
-        assert dcs.crc32_device(data) == zlib.crc32(data)
-        assert dcs.adler32_device(data) == zlib.adler32(data)
-        n8 = len(data)
-        arr_c = jnp.asarray(dcs._pad_to(
-            np.frombuffer(data, np.uint8), dcs.CRC_CHUNK))
-        arr_a = jnp.asarray(dcs._pad_to(
-            np.frombuffer(data, np.uint8), dcs.ADLER_CHUNK))
-        crc_fn = dcs._jit_crc(arr_c.shape[0], n8)
-        adl_fn = dcs._jit_adler(arr_a.shape[0], n8)
-        for name2, fn2, arr2, init2, ctrl in (
-                ("crc32", crc_fn, arr_c, jnp.uint32(0), zlib.crc32),
-                ("adler32", adl_fn, arr_a, jnp.uint32(1), zlib.adler32)):
-            # perturb the DATA per iteration: only folding the init
-            # value would let XLA hoist the heavy data pass. The MXU
-            # checksums are fast enough that K_DEV iterations would
-            # drown in the sync floor — loop 64x.
-            K_CK = 256
-            lfn = jax.jit(lambda a_, i0, f=fn2: jax.lax.fori_loop(
-                0, K_CK,
-                lambda i, acc: acc + f(
-                    a_.at[0].set(i.astype(jnp.uint8)), i0),
-                jnp.uint32(0)))
-            int(lfn(arr2, init2))
-            secs = max(best_of(lambda: int(lfn(arr2, init2))) - 0.03,
-                       1e-9) / K_CK
-            zsecs = timeit(ctrl, data)
-            rec("device", f"{name2}/8MB/sustained", n8, secs, zsecs)
+            def dec_row(name, n_streams):
+                cs = [pattern(BLOCK - 1024, seed=i) for i in range(n_streams)]
+                za = [zlib.compress(c, 6)[2:-4] for c in cs]
+                zb = [zlib.compress(pattern(BLOCK - 1024, seed=500 + i),
+                                    6)[2:-4] for i in range(n_streams)]
+                ia, wa_, _, _ = itk.pack_streams(za, 1)
+                ib_, wb_, _, _ = itk.pack_streams(zb, 1)
+                consts = itk._consts(1)
+                run = itk._jit_pass1(max(1, -(-n_streams // 128)), 1,
+                                     72 * 1024)
+                ja, jwa = jnp.asarray(ia[0]), jnp.asarray(wa_[0])
+                jb, jwb = jnp.asarray(ib_[0]), jnp.asarray(wb_[0])
+
+                @jax.jit
+                def probe_dec(la_, wa2, lb_, wb2):
+                    def body(i, acc):
+                        l_ = jnp.where(i % 2 == 0, la_, lb_)
+                        w_ = jnp.where(i % 2 == 0, wa2, wb2)
+                        toks, stats = run(l_[None], *consts, w_[None])
+                        return acc + stats[:, 1].sum() + toks[0, 0, 0, 0, 0]
+                    return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
+
+                int(probe_dec(ja, jwa, jb, jwb))
+                secs = max(
+                    best_of(lambda: int(probe_dec(ja, jwa, jb, jwb))) - 0.03,
+                    1e-9) / K_DEV
+                tot2 = sum(len(c) for c in cs)
+                zsecs2 = timeit(lambda xs: [zlib.decompress(c, -15)
+                                            for c in xs], za)
+                rec("device", name, tot2, secs, zsecs2)
+
+            if row_on("decompress/16x64KB/sustained"):
+                dec_row("decompress/16x64KB/sustained", 16)
+            if row_on("decompress/128x64KB/sustained"):
+                dec_row("decompress/128x64KB/sustained", 128)
+
+            def dec_row_fused(name, n_streams):
+                """FULL device decode: pass-1 token kernel + the on-device
+                LZ resolution pass (ops/resolve.py) in one jit — decoded
+                bytes are the only output (the pass-1-only rows above
+                isolate the entropy kernel for comparability)."""
+                cs = [pattern(BLOCK - 1024, seed=i) for i in range(n_streams)]
+                za = [zlib.compress(c, 6)[2:-4] for c in cs]
+                zb = [zlib.compress(pattern(BLOCK - 1024, seed=500 + i),
+                                    6)[2:-4] for i in range(n_streams)]
+                # correctness gate end-to-end through the public wrapper
+                outs2 = itk.inflate_device_fused(za, max_steps=72 * 1024)
+                assert outs2 == cs
+                groups2 = max(1, -(-n_streams // 128))
+                ia, wa_, _, _ = itk.pack_streams(za, 1)
+                ib_, wb_, _, _ = itk.pack_streams(zb, 1)
+                consts = itk._consts(1)
+                run = itk._jit_pass1(groups2, 1, 72 * 1024)
+                res = itk._jit_resolve_tok(groups2, 1, 65536)
+                ja, jwa = jnp.asarray(ia), jnp.asarray(wa_)
+                jb, jwb = jnp.asarray(ib_), jnp.asarray(wb_)
+
+                @jax.jit
+                def probe_f(la_, wa2, lb_, wb2):
+                    def body(i, acc):
+                        l_ = jnp.where(i % 2 == 0, la_, lb_)
+                        w_ = jnp.where(i % 2 == 0, wa2, wb2)
+                        toks, stats = run(l_, *consts, w_)
+                        outb, outlen, okf = res(toks)
+                        return (acc + outlen.sum()
+                                + outb.reshape(-1)[0].astype(jnp.int32)
+                                + stats[:, 1].sum())
+                    return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
+
+                int(probe_f(ja, jwa, jb, jwb))
+                secs = max(
+                    best_of(lambda: int(probe_f(ja, jwa, jb, jwb))) - 0.03,
+                    1e-9) / K_DEV
+                tot2 = sum(len(c) for c in cs)
+                zsecs2 = timeit(lambda xs: [zlib.decompress(c, -15)
+                                            for c in xs], za)
+                rec("device", name, tot2, secs, zsecs2)
+
+            if row_on("decompress/128x64KB/fused-sustained"):
+                dec_row_fused("decompress/128x64KB/fused-sustained", 128)
+
+        if row_on("crc32") or row_on("adler32"):
+            from libdeflate_rsx_tpu.ops import checksums as dcs
+
+            data = pattern(8 << 20)
+            assert dcs.crc32_device(data) == zlib.crc32(data)
+            assert dcs.adler32_device(data) == zlib.adler32(data)
+            n8 = len(data)
+            arr_c = jnp.asarray(dcs._pad_to(
+                np.frombuffer(data, np.uint8), dcs.CRC_CHUNK))
+            arr_a = jnp.asarray(dcs._pad_to(
+                np.frombuffer(data, np.uint8), dcs.ADLER_CHUNK))
+            crc_fn = dcs._jit_crc(arr_c.shape[0], n8)
+            adl_fn = dcs._jit_adler(arr_a.shape[0], n8)
+            for name2, fn2, arr2, init2, ctrl in (
+                    ("crc32", crc_fn, arr_c, jnp.uint32(0), zlib.crc32),
+                    ("adler32", adl_fn, arr_a, jnp.uint32(1), zlib.adler32)):
+                # perturb the DATA per iteration: only folding the init
+                # value would let XLA hoist the heavy data pass. The MXU
+                # checksums are fast enough that K_DEV iterations would
+                # drown in the sync floor — loop 64x.
+                K_CK = 256
+                lfn = jax.jit(lambda a_, i0, f=fn2: jax.lax.fori_loop(
+                    0, K_CK,
+                    lambda i, acc: acc + f(
+                        a_.at[0].set(i.astype(jnp.uint8)), i0),
+                    jnp.uint32(0)))
+                int(lfn(arr2, init2))
+                secs = max(best_of(lambda: int(lfn(arr2, init2))) - 0.03,
+                           1e-9) / K_CK
+                zsecs = timeit(ctrl, data)
+                rec("device", f"{name2}/8MB/sustained", n8, secs, zsecs)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
@@ -585,9 +605,17 @@ def main() -> None:
         # (e.g. a host-only run preserves the device rows and vice versa)
         with open(out) as f:
             prior = json.load(f)
-        measured = {r["group"] for r in results}
-        results = [r for r in prior
-                   if r["group"] not in measured] + results
+        if args.rows:
+            # surgical --rows rerun: merge by (group, name) so the
+            # device rows this run did NOT measure keep their values
+            measured_n = {(r["group"], r["name"]) for r in results}
+            results = [r for r in prior
+                       if (r["group"], r["name"]) not in measured_n] \
+                + results
+        else:
+            measured = {r["group"] for r in results}
+            results = [r for r in prior
+                       if r["group"] not in measured] + results
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\n{len(results)} results -> {out}")

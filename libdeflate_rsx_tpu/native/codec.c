@@ -1886,11 +1886,17 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
              * the analog of the reference's unchecked fast loop
              * (reference src/decompress/mod.rs:628-770) */
             int eob = 0;
-            /* margin: <=98 burst literals + 258-byte match + 31 slop */
-            while (!eob && op + 400 <= oend && r.end - r.in >= 16) {
+            /* margin: <=98 burst literals + 258-byte match + 31 slop.
+             * The next litlen entry is PRELOADED before each match copy
+             * (libdeflate's fastloop preload, re-derived): the refill's
+             * word load and the table load issue while the copy's
+             * stores retire, so the loop-carried latency chain is the
+             * copy alone, not copy -> refill -> table -> decode. */
+            if (op + 400 <= oend && r.end - r.in >= 16) {
                 br_refill(&r);   /* n in 56..63: covers a literal burst
                                   * or one full match (<=48 bits) */
                 int32_t e = ll_table[(uint32_t)r.buf & LL_RMASK];
+            while (op + 400 <= oend && r.end - r.in >= 16) {
                 uint32_t len, off;
                 for (;;) {
                     int ty = E_TYPE(e);
@@ -1907,7 +1913,11 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                         op += 1 + ((uint32_t)ty >> 2);
                         /* literal burst: continue while the buffer
                          * still covers a worst-case 15-bit codeword */
-                        if (r.n < 15) goto fast_continue;
+                        if (r.n < 15) {
+                            br_refill(&r);
+                            e = ll_table[(uint32_t)r.buf & LL_RMASK];
+                            goto fast_continue;
+                        }
                         e = ll_table[(uint32_t)r.buf & LL_RMASK];
                         continue;
                     }
@@ -1920,7 +1930,7 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                     if (ty == T_EOB) {
                         br_consume(&r, E_LEN(e));
                         eob = 1;
-                        goto fast_continue;
+                        goto fast_done;
                     }
                     if (ty == T_BAD) return ERR_BADDATA;
                     /* T_BASE: match length. One refill covers the
@@ -1960,6 +1970,11 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                 const uint8_t *src = op - off;
                 uint8_t *dst = op;
                 op += len;
+                /* preload: next iteration's refill + root-table load
+                 * overlap the copy below (the whole point of the
+                 * restructured loop — see the margin comment above) */
+                br_refill(&r);
+                e = ll_table[(uint32_t)r.buf & LL_RMASK];
                 if (off >= 32) {
                     /* the common case on binary data first. When the
                      * copy wraps (len > off) a contiguous 16B loop
@@ -2038,6 +2053,8 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                 }
 fast_continue:;
             }
+            }
+fast_done:
             if (eob) {
                 if (final) break; else continue;
             }
