@@ -120,11 +120,21 @@ def main() -> None:
     v = jnp.asarray(np.full((unroll, LAUNCH_ROWS), BLOCK, np.int32))
     fin = jnp.asarray(np.zeros((unroll, LAUNCH_ROWS), bool))
     int(probe(a, v, fin))                 # compile + warm
+
+    # Per-run measured dispatch+sync offset (the dev tunnel adds a
+    # variable ~10-50 ms per call that is NOT device compute): time a
+    # trivial jit with the same int() sync pattern and subtract it.
+    @jax.jit
+    def _nop(x):
+        return x + 1
+
+    int(_nop(jnp.int32(0)))
+    sync0 = min(_timed(lambda: int(_nop(jnp.int32(0)))) for _ in range(10))
     # best-of: the host core is shared (driver/telemetry), so the mean
     # over-counts scheduler noise; the fastest run is the honest
     # device-throughput observation (criterion's min-based estimator)
     dt = min(_timed(lambda: int(probe(a, v, fin))) for _ in range(6))
-    gbps = K * size / max(dt - 0.03, 1e-9) / 1e9
+    gbps = K * size / max(dt - sync0, 1e-9) / 1e9
 
     # control arm: single-core C zlib level 1 on the same host
     big = make_corpus(32 << 20)

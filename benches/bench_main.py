@@ -238,8 +238,23 @@ def main() -> None:
                 enc.write(d)
             return sink.getvalue()
 
+        def zlib_stream_encode(d):
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            out = co.compress(d)
+            return out + co.flush()
+
         secs = timeit(stream_encode, data)
-        rec("stream", "encode/2MB/level6", len(data), secs)
+        zsecs = timeit(zlib_stream_encode, data)
+        lsecs = timeit(ldc.compress, data, 6) if have_ldc else None
+        rec("stream", "encode/2MB/level6", len(data), secs, zsecs, lsecs)
+
+        # the reference's encoder_perf bench is a 10 MB parallel stream
+        # encode at level 6 (reference benches/encoder_perf.rs:5-28)
+        data10 = pattern(10 << 20)
+        secs = timeit(stream_encode, data10)
+        zsecs = timeit(zlib_stream_encode, data10)
+        lsecs = timeit(ldc.compress, data10, 6) if have_ldc else None
+        rec("stream", "encode/10MB/level6", len(data10), secs, zsecs, lsecs)
 
         comp = zlib.compress(data, 6)[2:-4]
 
@@ -373,8 +388,20 @@ def main() -> None:
         # perturbed per iteration, single scalar sync) and divides.
         K_DEV = 4
 
+        # Measured per-run dispatch+sync offset (replaces the old
+        # hard-coded 0.03 s): a trivial jit under the same int() sync
+        # pattern isolates the tunnel/dispatch floor from device compute.
+        @jax.jit
+        def _nop(x):
+            return x + 1
+
+        int(_nop(jnp.int32(0)))
+        SYNC0 = best_of(lambda: int(_nop(jnp.int32(0))), reps=10)
+
         BLOCK, ROWS, UNROLL = 65536, 16, 4
-        if row_on("compress/static-tier") or row_on("compress/dynamic-tier"):
+        _row_static = row_on("compress/static-tier/sustained")
+        _row_dynamic = row_on("compress/dynamic-tier/sustained")
+        if _row_static or _row_dynamic:
             size = UNROLL * ROWS * BLOCK
             data = pattern(size)
             # correctness gate for both tiers (end-to-end through zlib)
@@ -391,6 +418,8 @@ def main() -> None:
             a = jnp.asarray(arr)
             v = jnp.asarray(np.full((UNROLL, ROWS), BLOCK, np.int32))
             fin = jnp.asarray(np.zeros((UNROLL, ROWS), bool))
+
+        if _row_static:
             enc = e2.jit_encoder_scan(BLOCK, UNROLL)
 
             @jax.jit
@@ -402,11 +431,12 @@ def main() -> None:
                 return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
             int(probe_static(a, v, fin))
-            secs = max(best_of(lambda: int(probe_static(a, v, fin))) - 0.03,
+            secs = max(best_of(lambda: int(probe_static(a, v, fin))) - SYNC0,
                        1e-9) / K_DEV
             zsecs = timeit(lambda d: zlib.compress(d, 1), data)
             rec("device", "compress/static-tier/sustained", size, secs, zsecs)
 
+        if _row_dynamic:
             # dynamic tier: jit A + host tables + jit B, device-resident
             a2 = a[0]
             v2 = v[0]
@@ -435,11 +465,11 @@ def main() -> None:
                 return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
 
             int(probe_dynA(a2, v2))
-            tA = max(best_of(lambda: int(probe_dynA(a2, v2))) - 0.03,
+            tA = max(best_of(lambda: int(probe_dynA(a2, v2))) - SYNC0,
                      1e-9) / K_DEV
             args_b = (outA[0], outA[1], outA[2], outA[3], llj, ofj, hbj)
             int(probe_dynB(a2, *args_b))
-            tB = max(best_of(lambda: int(probe_dynB(a2, *args_b))) - 0.03,
+            tB = max(best_of(lambda: int(probe_dynB(a2, *args_b))) - SYNC0,
                      1e-9) / K_DEV
             # host table step, batched: production (BatchCompressor /
             # deflate_device_dynamic_many) fetches the histograms for the
@@ -472,7 +502,10 @@ def main() -> None:
                     "tB_ms": round(tB * 1e3, 2),
                     "tH_host+link_ms": round(tH * 1e3, 2)})
 
-        if row_on("decompress/"):
+        _dec_rows = ("decompress/16x64KB/sustained",
+                     "decompress/128x64KB/sustained",
+                     "decompress/128x64KB/fused-sustained")
+        if any(row_on(n) for n in _dec_rows):
             # batch decode: lockstep two-pass decoder (pass-1 entropy decode
             # on device; ops/pallas/inflate_tokens.py). TWO input sets
             # alternate inside the loop so XLA cannot hoist the kernel.
@@ -508,7 +541,7 @@ def main() -> None:
 
                 int(probe_dec(ja, jwa, jb, jwb))
                 secs = max(
-                    best_of(lambda: int(probe_dec(ja, jwa, jb, jwb))) - 0.03,
+                    best_of(lambda: int(probe_dec(ja, jwa, jb, jwb))) - SYNC0,
                     1e-9) / K_DEV
                 tot2 = sum(len(c) for c in cs)
                 zsecs2 = timeit(lambda xs: [zlib.decompress(c, -15)
@@ -555,7 +588,7 @@ def main() -> None:
 
                 int(probe_f(ja, jwa, jb, jwb))
                 secs = max(
-                    best_of(lambda: int(probe_f(ja, jwa, jb, jwb))) - 0.03,
+                    best_of(lambda: int(probe_f(ja, jwa, jb, jwb))) - SYNC0,
                     1e-9) / K_DEV
                 tot2 = sum(len(c) for c in cs)
                 zsecs2 = timeit(lambda xs: [zlib.decompress(c, -15)
@@ -581,6 +614,8 @@ def main() -> None:
             for name2, fn2, arr2, init2, ctrl in (
                     ("crc32", crc_fn, arr_c, jnp.uint32(0), zlib.crc32),
                     ("adler32", adl_fn, arr_a, jnp.uint32(1), zlib.adler32)):
+                if not row_on(f"{name2}/8MB/sustained"):
+                    continue
                 # perturb the DATA per iteration: only folding the init
                 # value would let XLA hoist the heavy data pass. The MXU
                 # checksums are fast enough that K_DEV iterations would
@@ -592,7 +627,7 @@ def main() -> None:
                         a_.at[0].set(i.astype(jnp.uint8)), i0),
                     jnp.uint32(0)))
                 int(lfn(arr2, init2))
-                secs = max(best_of(lambda: int(lfn(arr2, init2))) - 0.03,
+                secs = max(best_of(lambda: int(lfn(arr2, init2))) - SYNC0,
                            1e-9) / K_CK
                 zsecs = timeit(ctrl, data)
                 rec("device", f"{name2}/8MB/sustained", n8, secs, zsecs)

@@ -110,6 +110,13 @@ class BatchCompressor:
     (device path for levels it serves, host otherwise); False forces host.
     """
 
+    #: auto-offload ratio contract: the device tier's output may be at
+    #: most this factor larger than the host engine's at the same level
+    #: (otherwise auto mode silently degrades the ratio the user asked
+    #: for). Explicit use_device=True skips the check (documented trade:
+    #: the device tiers favor throughput; see models/greedy_dynamic.py).
+    RATIO_SLACK = 1.05
+
     def __init__(self, level: int = 6, format: str = "deflate",
                  use_device: bool | None = None) -> None:
         if not (MIN_LEVEL <= level <= MAX_LEVEL):
@@ -119,6 +126,7 @@ class BatchCompressor:
         self.level = level
         self.format = format
         self.use_device = use_device
+        self._ratio_ok: bool | None = None   # auto-mode calibration cache
 
     # -- framing helpers ----------------------------------------------------
 
@@ -170,12 +178,42 @@ class BatchCompressor:
         except DeflateError:
             return b""
 
+    def _ratio_calibrate(self, items: list[bytes]) -> bool:
+        """Auto-mode ratio contract: compress a small sample through both
+        paths once and approve device offload only if its output stays
+        within RATIO_SLACK of the host engine's at the same level.
+        Cached per instance — one extra host compress of <=256 KiB on the
+        first batch. Level 0 (stored) is byte-equivalent by construction."""
+        if self._ratio_ok is not None:
+            return self._ratio_ok
+        if self.level in DEVICE_LEVELS_STORED:
+            self._ratio_ok = True
+            return True
+        sample = next((x for x in items if len(x) >= 4096), None)
+        if sample is None:
+            # tiny items: device launch overhead dominates anyway
+            self._ratio_ok = False
+            return False
+        sample = sample[: 256 << 10]
+        try:
+            dev_size = len(self._compress_one_device(sample))
+            host_size = len(self._compress_one_host(sample))
+            self._ratio_ok = dev_size <= host_size * self.RATIO_SLACK
+        except Exception:
+            self._ratio_ok = False
+        return self._ratio_ok
+
     def compress_batch(self, inputs) -> list[bytes]:
         """Per-item isolation: an item that fails yields b"" (reference
         src/batch.rs:47-54) and the rest of the batch proceeds. Host
         items run on the shared thread pool (the reference's rayon
         par_iter, reference src/batch.rs:34-57)."""
         device = self._device_wanted()
+        if device and self.use_device is None:
+            # AUTO mode must not silently trade away the ratio the user's
+            # level implies (an unguarded dynamic-tier offload was a ~17%
+            # size regression at level 6) — calibrate once per instance
+            device = self._ratio_calibrate([bytes(x) for x in inputs])
         if device:
             items = [bytes(x) for x in inputs]
             # dynamic tier: one batched analyze/fetch/emit for the whole

@@ -23,7 +23,7 @@ import zlib
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), "..",
-                                   "benches", ".jax_cache"))
+                                   ".jax_cache"))
 
 import numpy as np
 

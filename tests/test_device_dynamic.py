@@ -96,3 +96,40 @@ def test_dynamic_gzip_container_device():
     out = BatchCompressor(level=6, format="gzip",
                           use_device=True).compress_batch([data])[0]
     assert gz.decompress(out) == data
+
+
+def test_auto_offload_ratio_contract():
+    """AUTO mode (use_device=None) must not silently produce a worse
+    ratio than the requested level: the calibration gate compares the
+    device tier against the host engine once and routes the batch to
+    whichever honors the level's ratio class (within RATIO_SLACK)."""
+    from libdeflate_rsx_tpu import batch as batch_mod
+    from libdeflate_rsx_tpu.batch import BatchCompressor
+    from libdeflate_rsx_tpu.engine import compress_raw
+    from libdeflate_rsx_tpu.models.portable.deflate import Flush
+
+    datas = [make_corpus("text", 40000, seed=i) for i in range(3)]
+    bc = BatchCompressor(level=6)
+    # force the link probe to "fast" so auto mode actually considers the
+    # device path; the ratio gate is what's under test
+    old = batch_mod._link_ok
+    batch_mod._link_ok = True
+    try:
+        outs = bc.compress_batch(datas)
+    finally:
+        batch_mod._link_ok = old
+    for d, o in zip(datas, outs):
+        assert raw_inflate(o) == d
+        host = compress_raw(d, 6, Flush.FINISH)
+        assert len(o) <= len(host) * BatchCompressor.RATIO_SLACK
+
+
+def test_auto_offload_calibration_cached():
+    from libdeflate_rsx_tpu.batch import BatchCompressor
+    bc = BatchCompressor(level=6)
+    assert bc._ratio_ok is None
+    got = bc._ratio_calibrate([make_corpus("text", 20000)])
+    assert bc._ratio_ok is got
+    # second call must not re-run the (expensive) calibration
+    bc._ratio_ok = not got
+    assert bc._ratio_calibrate([b"x" * 20000]) == (not got)
