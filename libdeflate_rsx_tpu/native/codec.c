@@ -341,6 +341,58 @@ static inline uint32_t hash4(const uint8_t *p, int shift) {
     return (w * 0x9E3779B1u) >> shift;
 }
 
+/* SIMD match-length kernels (the reference's capability tier ladder:
+ * AVX-512BW > AVX2 > scalar, reference src/compress/matchfinder.rs:
+ * 277-719 — own designs, compiled in via -march=native rather than
+ * runtime-dispatched since the .so is built on the machine it runs on).
+ * All wide loads stay within [p, p+max): no reads past the caller's
+ * bound (the AVX-512 tail uses a maskz load, which cannot fault on
+ * masked-out lanes). */
+#if defined(__AVX512BW__)
+static inline uint32_t match_len(const uint8_t *a, const uint8_t *b,
+                                 uint32_t max) {
+    uint32_t l = 0;
+    while (l + 64 <= max) {
+        __m512i x = _mm512_loadu_si512((const void *)(a + l));
+        __m512i y = _mm512_loadu_si512((const void *)(b + l));
+        uint64_t ne = _mm512_cmpneq_epi8_mask(x, y);
+        if (ne) return l + (uint32_t)__builtin_ctzll(ne);
+        l += 64;
+    }
+    if (l < max) {
+        __mmask64 m = (__mmask64)(~0ULL >> (64 - (max - l)));
+        __m512i x = _mm512_maskz_loadu_epi8(m, (const void *)(a + l));
+        __m512i y = _mm512_maskz_loadu_epi8(m, (const void *)(b + l));
+        uint64_t ne = _mm512_cmpneq_epi8_mask(x, y) & (uint64_t)m;
+        if (ne) return l + (uint32_t)__builtin_ctzll(ne);
+        l = max;
+    }
+    return l;
+}
+#elif defined(__AVX2__)
+static inline uint32_t match_len(const uint8_t *a, const uint8_t *b,
+                                 uint32_t max) {
+    uint32_t l = 0;
+    while (l + 32 <= max) {
+        __m256i x = _mm256_loadu_si256((const __m256i *)(a + l));
+        __m256i y = _mm256_loadu_si256((const __m256i *)(b + l));
+        uint32_t eq = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(x, y));
+        if (eq != 0xFFFFFFFFu) return l + (uint32_t)__builtin_ctz(~eq);
+        l += 32;
+    }
+    while (l + 8 <= max) {
+        uint64_t x, y;
+        memcpy(&x, a + l, 8);
+        memcpy(&y, b + l, 8);
+        uint64_t d = x ^ y;
+        if (d) return l + (uint32_t)(__builtin_ctzll(d) >> 3);
+        l += 8;
+    }
+    while (l < max && a[l] == b[l]) l++;
+    return l;
+}
+#else
 static inline uint32_t match_len(const uint8_t *a, const uint8_t *b,
                                  uint32_t max) {
     uint32_t l = 0;
@@ -355,6 +407,7 @@ static inline uint32_t match_len(const uint8_t *a, const uint8_t *b,
     while (l < max && a[l] == b[l]) l++;
     return l;
 }
+#endif
 
 /* ------------------------------------------------------------------ */
 /* adaptive block splitter                                             */
