@@ -1951,28 +1951,68 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                 int32_t e = ll_table[(uint32_t)r.buf & LL_RMASK];
             while (op + 400 <= oend && r.end - r.in >= 16) {
                 uint32_t len, off;
-                for (;;) {
+                /* THREE blind literal slots per refill, ONE predicted
+                 * branch per slot (T_LIT (0) / T_LIT2 (4) share the
+                 * (ty & 3) == 0 test; second byte stored blind and the
+                 * pointer advanced by ty>>2, so pairs cost no extra
+                 * branch — the 400-byte margin covers the over-store).
+                 * Safe: the bottom refill guarantees n >= 56, each slot
+                 * consumes <= 15 bits, and a refill only ADDS high bits
+                 * so the preloaded entry stays valid across it. The old
+                 * shape paid a second branch per literal (n < 15) plus
+                 * an outer-loop bounce per refill — literal-heavy
+                 * members (sao/xray) were the decode laggards. */
+                {
                     int ty = E_TYPE(e);
                     if ((ty & 3) == 0) {
-                        /* T_LIT (0) / T_LIT2 (4) under ONE predicted
-                         * branch; second byte stored blind and the
-                         * pointer advanced by ty>>2 (0 or 1) so the
-                         * pair case costs no extra branch (the 400-
-                         * byte loop margin covers the over-store) */
                         br_consume(&r, e & 31);
                         uint32_t pay = E_PAY(e);
                         op[0] = (uint8_t)pay;
                         op[1] = (uint8_t)(pay >> 8);
                         op += 1 + ((uint32_t)ty >> 2);
-                        /* literal burst: continue while the buffer
-                         * still covers a worst-case 15-bit codeword */
-                        if (r.n < 15) {
-                            br_refill(&r);
-                            e = ll_table[(uint32_t)r.buf & LL_RMASK];
-                            goto fast_continue;
-                        }
                         e = ll_table[(uint32_t)r.buf & LL_RMASK];
-                        continue;
+                        ty = E_TYPE(e);
+                        if ((ty & 3) == 0) {
+                            br_consume(&r, e & 31);
+                            pay = E_PAY(e);
+                            op[0] = (uint8_t)pay;
+                            op[1] = (uint8_t)(pay >> 8);
+                            op += 1 + ((uint32_t)ty >> 2);
+                            e = ll_table[(uint32_t)r.buf & LL_RMASK];
+                            ty = E_TYPE(e);
+                            if ((ty & 3) == 0) {
+                                br_consume(&r, e & 31);
+                                pay = E_PAY(e);
+                                op[0] = (uint8_t)pay;
+                                op[1] = (uint8_t)(pay >> 8);
+                                op += 1 + ((uint32_t)ty >> 2);
+                                e = ll_table[(uint32_t)r.buf & LL_RMASK];
+                                br_refill(&r);
+                                continue;
+                            }
+                        }
+                    }
+                }
+                /* non-literal: top up first — after three 15-bit slots
+                 * n can be 11, below a subtable lookup's worst case
+                 * (11 root + up to 4 sub bits beyond consumed) and
+                 * below the fused match read (48 bits) */
+                br_refill(&r);
+                for (;;) {
+                    int ty = E_TYPE(e);
+                    if ((ty & 3) == 0) {
+                        /* subtable entries can be literals: store one,
+                         * re-establish the slot invariant (n >= 56 —
+                         * three 15-bit slots need 45 and only 41 may
+                         * remain here), and rejoin the slot loop */
+                        br_consume(&r, e & 31);
+                        uint32_t pay = E_PAY(e);
+                        op[0] = (uint8_t)pay;
+                        op[1] = (uint8_t)(pay >> 8);
+                        op += 1 + ((uint32_t)ty >> 2);
+                        e = ll_table[(uint32_t)r.buf & LL_RMASK];
+                        br_refill(&r);
+                        goto fast_continue;
                     }
                     if (ty == T_SUB) {
                         e = ll_table[E_PAY(e)
@@ -1986,7 +2026,7 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                         goto fast_done;
                     }
                     if (ty == T_BAD) return ERR_BADDATA;
-                    /* T_BASE: match length. One refill covers the
+                    /* T_BASE: match length. The refill above covers the
                      * whole match worst case (15+5 length + 15+13
                      * offset = 48 <= 56 bits); code and extra bits
                      * are consumed in ONE shift each with the values
@@ -1994,7 +2034,6 @@ int64_t inflate_c(const uint8_t *in, int64_t in_len, uint8_t *out,
                      * saved-bitbuf trick of the reference's fast
                      * loop, reference src/decompress/mod.rs:628-770),
                      * halving the serial shift chain per match. */
-                    br_refill(&r);
                     {
                         uint64_t sv = r.buf;
                         int cl = E_LEN(e), ce = E_EXTRA(e);
