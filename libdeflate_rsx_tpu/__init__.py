@@ -21,9 +21,11 @@ from .api import (
     zlib_compress_bound,
 )
 from .batch import BatchCompressor, BatchDecompressor
+from .engine import Deflater
 from .engine import adler32 as adler32_host
 from .engine import crc32 as crc32_host
-from .stream import DeflateDecoder, DeflateEncoder
+from .stream import (DeflateDecoder, DeflateEncoder, GzipDecoder,
+                     GzipEncoder)
 from .utils import errors
 
 __version__ = "0.1.0"
@@ -67,8 +69,11 @@ __all__ = [
     "Decompressor",
     "BatchCompressor",
     "BatchDecompressor",
+    "Deflater",
     "DeflateEncoder",
     "DeflateDecoder",
+    "GzipEncoder",
+    "GzipDecoder",
     "crc32",
     "adler32",
     "deflate_compress_bound",

@@ -26,6 +26,80 @@ CHUNK_PARALLEL_SIZE = 256 * 1024
 from .common import WINDOW_SIZE as _WINDOW
 
 
+class Deflater:
+    """Incremental raw-DEFLATE compressor with BIT-level state across
+    calls — the reference's `FlushMode::None` contract (reference
+    src/compress/mod.rs:424-429,604-691): `compress(data)` emits the
+    complete blocks for `data` WITHOUT byte alignment; the trailing
+    partial byte (`pending_bits` valid low bits) and the 32 KiB LZ
+    history persist until a SYNC or FINISH flush. The concatenation of
+    everything returned is one valid DEFLATE stream.
+
+    Levels 1-12 use the native bit-phase engine; without a C toolchain
+    (and for level 0, whose stored blocks are byte-aligned by format)
+    NONE degrades to SYNC — byte-identical decoded output, marginally
+    larger stream.
+    """
+
+    def __init__(self, level: int = 6) -> None:
+        from .common import MAX_LEVEL, MIN_LEVEL
+        from .utils.errors import LevelError
+        if not (MIN_LEVEL <= level <= MAX_LEVEL):
+            raise LevelError(f"compression level {level} outside 0..=12")
+        self._level = level
+        self._history = b""
+        self._partial = 0          # pending byte value (low bits valid)
+        self._nbits = 0            # 0..7 valid bits in _partial
+        self._finished = False
+
+    @property
+    def pending_bits(self) -> int:
+        """Valid bits of the retained partial byte (the reference's
+        `valid_bits` return, reference src/compress/mod.rs:690)."""
+        return self._nbits
+
+    @property
+    def finished(self) -> bool:
+        return self._finished
+
+    def compress(self, data, flush: Flush = Flush.NONE) -> bytes:
+        if self._finished:
+            raise ValueError("compress after FINISH")
+        data = bytes(data)
+        if flush == Flush.NONE and not data:
+            return b""
+        from .native.host import native_deflate_bits
+        mode = {Flush.NONE: 0, Flush.SYNC: 1, Flush.FINISH: 2}[flush]
+        res = None
+        if 1 <= self._level <= 12:
+            res = native_deflate_bits(data, self._level, mode,
+                                      self._history, self._nbits)
+        if res is None:
+            # portable/level-0 fallback: byte-aligned join (SYNC) —
+            # decoded bytes identical, stream marginally larger. The
+            # fallback is chosen from the first call on (native never
+            # available, or level 0), so no bit-phase can be pending.
+            assert self._nbits == 0
+            out = compress_raw(data, self._level,
+                               Flush.FINISH if flush == Flush.FINISH
+                               else Flush.SYNC, history=self._history)
+            self._history = (self._history + data)[-_WINDOW:]
+            if flush == Flush.FINISH:
+                self._finished = True
+            return out
+        arr, bits = res
+        self._history = (self._history + data)[-_WINDOW:]
+        nfull = bits >> 3
+        arr[0] |= self._partial
+        out = arr[:nfull].tobytes()
+        self._nbits = bits & 7
+        self._partial = int(arr[nfull]) if self._nbits else 0
+        if flush == Flush.FINISH:
+            # byte-aligned by bw_finish; nbits is 0 here
+            self._finished = True
+        return out
+
+
 def _compress_one_chunk(args) -> bytes:
     data, level, flush_code, history = args
     from .native.host import native_deflate

@@ -163,6 +163,21 @@ static inline int64_t bw_finish(BitW *w) {
     return w->out - w->start;
 }
 
+/* bit-exact finish for FlushMode::None-style calls (reference
+ * src/compress/mod.rs:424-429: compress keeps the bit buffer across
+ * calls): no padding; the trailing partial byte is stored (the caller
+ * carries its 0..7 valid bits) and the return value is the TOTAL BIT
+ * length of the stream. */
+static inline int64_t bw_finish_bits(BitW *w) {
+    bw_flushbytes(w);
+    if (w->error) return w->error;
+    if (w->n && w->out >= w->end) w->overflow = 1;
+    if (w->overflow) return ERR_SPACE;
+    int64_t bits = (int64_t)(w->out - w->start) * 8 + w->n;
+    if (w->n) *w->out = (uint8_t)w->buf;  /* partial byte, not counted */
+    return bits;
+}
+
 /* ------------------------------------------------------------------ */
 /* package-merge length-limited Huffman                                */
 /* ------------------------------------------------------------------ */
@@ -1118,6 +1133,8 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
                                int32_t *work) {
     BitW w;
     bw_init(&w, out, out_cap);
+    w.n = (flush >> 4) & 7;
+    flush &= 15;
     int64_t n = total_len;
     BT bt;
     int hb = hash_bits_for(n);
@@ -1291,7 +1308,7 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
                     if (!ofc[s]) ofc[s] = 11;
             }
         }
-        int final = (flush == 2) && (bend == n);
+        int final = (flush == 2 || flush == 3) && (bend == n);
         if (!w.error)
             write_block(&w, buf, bstart, bend, seqs, nseq, final);
         if (w.overflow || w.error) break;
@@ -1302,7 +1319,7 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
     if (w.error) return w.error;
     if (w.overflow) return ERR_SPACE;
 
-    if (total_len == hist_len && flush == 2) {
+    if (total_len == hist_len && (flush == 2 || flush == 3)) {
         bw_put(&w, 1, 3);
         bw_align(&w);
         bw_put(&w, 0, 16);
@@ -1314,6 +1331,7 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
         bw_put(&w, 0, 16);
         bw_put(&w, 0xFFFF, 16);
     }
+    if (flush == 0 || flush == 3) return bw_finish_bits(&w);
     return bw_finish(&w);
 }
 
@@ -1323,15 +1341,25 @@ static int64_t deflate_optimal(const uint8_t *buf, int64_t hist_len,
 int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                   int level, int flush, uint8_t *out, int64_t out_cap,
                   int32_t *work /* HASH_SIZE + total_len int32 */) {
+    /* flush encodes mode | (bit_phase << 4): modes 0 = NONE (emit
+     * complete blocks, no alignment, return BIT length), 1 = SYNC,
+     * 2 = FINISH, 3 = FINISH-bits. bit_phase (0..7) is the stream's
+     * current mid-byte position from a prior NONE call: the writer
+     * starts there so stored-block alignment and SYNC padding stay
+     * correct relative to the REAL stream, and the caller ORs the
+     * first output byte into its pending partial byte. */
+    int phase = (flush >> 4) & 7;
+    flush &= 15;
     if (level >= 10 && level <= 12) {
         init_tables();
         if (hist_len > total_len) return ERR_BADDATA;
-        return deflate_optimal(buf, hist_len, total_len, level, flush,
-                               out, out_cap, work);
+        return deflate_optimal(buf, hist_len, total_len, level,
+                               flush | (phase << 4), out, out_cap, work);
     }
     init_tables();
     BitW w;
     bw_init(&w, out, out_cap);
+    w.n = phase;
     int64_t n = total_len;
     if (level < 1 || level > 9) return ERR_BADDATA;
     if (hist_len > total_len) return ERR_BADDATA;
@@ -1526,13 +1554,13 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
                 seqs[nseq].len = 0; seqs[nseq].off = 0;
                 nseq++;
             }
-            int final = (flush == 2) && (bend == n);
+            int final = (flush == 2 || flush == 3) && (bend == n);
             write_block(&w, buf, bstart, bend, seqs, nseq, final);
             if (w.error) return w.error;
             if (w.overflow) return ERR_SPACE;
             bstart = bend;
         }
-    } else if (flush == 2) {
+    } else if (flush == 2 || flush == 3) {
         /* empty final stored block */
         bw_put(&w, 1, 3);
         bw_align(&w);
@@ -1547,6 +1575,10 @@ int64_t deflate_c(const uint8_t *buf, int64_t hist_len, int64_t total_len,
         bw_put(&w, 0, 16);
         bw_put(&w, 0xFFFF, 16);
     }
+    /* FlushMode::None (0) / bit-exact FINISH (3): no byte alignment —
+     * return the BIT length; the caller carries the trailing partial
+     * byte across calls (reference src/compress/mod.rs:424-429). */
+    if (flush == 0 || flush == 3) return bw_finish_bits(&w);
     return bw_finish(&w);
 }
 

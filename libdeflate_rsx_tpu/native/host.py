@@ -79,6 +79,39 @@ def _map_inflate_err(n: int) -> None:
         raise InsufficientSpaceError("decompressed data exceeds buffer")
 
 
+def native_deflate_bits(data: bytes, level: int, mode: int,
+                        history: bytes = b"", phase: int = 0):
+    """Bit-exact raw DEFLATE for the incremental Deflater (the
+    reference's FlushMode::None, reference src/compress/mod.rs:424-429):
+    the stream starts at bit `phase` (0..7) of its first output byte and
+    mode 0 (NONE) / 3 (FINISH-bits) return the total BIT length with no
+    byte-alignment padding.
+
+    Returns (out_array, total_bits_including_phase) — for modes 1/2 the
+    bit count is 8 * byte count. None when no native library."""
+    if not (1 <= level <= 12):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+    buf = history + data if history else data
+    total = len(buf)
+    cap = total + (total >> 3) + 4096
+    out = np.zeros(cap, np.uint8)
+    src = np.frombuffer(buf, np.uint8) if total else np.zeros(1, np.uint8)
+    work = np.zeros(2 * _HASH_SIZE + total, np.int32)
+    r = lib.deflate_c(src.ctypes.data, len(history), total, level,
+                      mode | ((phase & 7) << 4), out.ctypes.data, cap,
+                      work.ctypes.data)
+    if r == _ERR_SPACE:
+        raise InsufficientSpaceError("compressed output exceeded bound")
+    if r < 0:
+        return None
+    bits = int(r) if mode in (0, 3) else int(r) * 8
+    return out, bits
+
+
 def native_inflate(data: bytes, max_out: int):
     """One-shot raw-DEFLATE decode. Returns (bytes, consumed) or None."""
     ext = get_ext()

@@ -155,6 +155,234 @@ def find_matches_var(data_padded, valid_len, s, *, nwords=1, k=1,
     return best_ml, best_dist
 
 
+def find_matches_ladder(data_padded, valid_len, s, *, nwords=3, k=2,
+                        max_tier=256, kt=1):
+    """Prefix-doubling candidate ladder (suffix-array flavored): tier L
+    finds the nearest previous occurrence sharing >= L bytes, via dense
+    ranks of L/2-byte prefixes sorted as (rank[i], rank[i+L/2]) pairs.
+    Tiers L = 8..max_tier each cost one 2-key sort + scans. Candidates
+    merge with the base k-predecessor sort4 tier by (longer, nearer).
+    Lengths from upper tiers are EXACT-at-least-L; the oracle extension
+    (or a device extension pass) resolves true lengths."""
+    pos = jnp.arange(s, dtype=jnp.int32)
+
+    def shift(a, j):
+        return jnp.concatenate([a[:j] * 0, a[:-j]])
+
+    def merge(ml_new, dist_new, best_ml, best_dist):
+        better = (ml_new > best_ml) | ((ml_new == best_ml)
+                                       & (dist_new < best_dist)
+                                       & (ml_new > 0))
+        return (jnp.where(better, ml_new, best_ml),
+                jnp.where(better, dist_new, best_dist))
+
+    best_ml, best_dist = find_matches_var(
+        data_padded, valid_len, s, nwords=nwords, k=k, sort8=False)
+
+    # dense rank of the 4-byte prefix
+    w0 = _words_at(data_padded, 0, s)
+    w0s, poss = jax.lax.sort((w0, pos), dimension=0, num_keys=1,
+                             is_stable=True)
+    newg = jnp.concatenate([jnp.ones(1, jnp.int32),
+                            (w0s[1:] != w0s[:-1]).astype(jnp.int32)])
+    rk_s = jnp.cumsum(newg)
+    _, rank = jax.lax.sort((poss, rk_s), dimension=0, num_keys=1)
+
+    half = 4
+    while half * 2 <= max_tier:
+        L = half * 2
+        rb = jnp.where(pos + half < s,
+                       jnp.concatenate([rank[half:], jnp.zeros(half,
+                                                               rank.dtype)]),
+                       0)
+        ra_s, rb_s, poss = jax.lax.sort((rank, rb, pos), dimension=0,
+                                        num_keys=2, is_stable=True)
+        for j in range(1, kt + 1):
+            same = (shift(ra_s, j) == ra_s) & (shift(rb_s, j) == rb_s) \
+                & (shift(pos, j) >= j) & (rb_s > 0)
+            cand = shift(poss, j)
+            dist = poss - cand
+            ok = same & (dist >= 1) & (dist <= WINDOW_SIZE)
+            ml = jnp.where(ok, L, 0)
+            dd = jnp.where(ok, dist, 0)
+            packed = dd.astype(U) | (ml.astype(U) << U(20))
+            _, packed_u = jax.lax.sort((poss, packed), dimension=0,
+                                       num_keys=1)
+            ml_u = (packed_u >> U(20)).astype(jnp.int32)
+            dist_u = (packed_u & U(0xFFFFF)).astype(jnp.int32)
+            best_ml, best_dist = merge(ml_u, dist_u, best_ml, best_dist)
+        # ranks for the next level from this sorted order
+        newg = jnp.concatenate([jnp.ones(1, jnp.int32),
+                                ((ra_s[1:] != ra_s[:-1])
+                                 | (rb_s[1:] != rb_s[:-1])).astype(
+                                     jnp.int32)])
+        rk_s = jnp.cumsum(newg)
+        _, rank = jax.lax.sort((poss, rk_s), dimension=0, num_keys=1)
+        half = L
+
+    best_ml = jnp.minimum(best_ml, jnp.clip(valid_len - pos, 0, 258))
+    best_ml = jnp.where(best_ml >= MIN_MATCH, best_ml, 0)
+    return best_ml, best_dist
+
+
+def find_matches_direct(data_padded, valid_len, s, *, k=2,
+                        tiers=(8, 16), tier_k=2, carry=2):
+    """Direct multi-word-key tier ladder (no ranks, no cumsum — both
+    measured expensive on TPU): tier L sorts by the raw L-byte prefix
+    (L/4 u32 keys); adjacent rows with equal keys share >= L bytes and,
+    by stable position order, the j-th predecessor is the j-th nearest.
+    Carried next-words give exact lengths to L + 4*carry. All tiers
+    merge by (longer, nearer); extend_runs composes beyond the caps."""
+    pos = jnp.arange(s, dtype=jnp.int32)
+
+    def shift(a, j):
+        return jnp.concatenate([a[:j] * 0, a[:-j]])
+
+    def merge(ml_new, dist_new, best_ml, best_dist):
+        better = (ml_new > best_ml) | ((ml_new == best_ml)
+                                       & (dist_new < best_dist)
+                                       & (ml_new > 0))
+        return (jnp.where(better, ml_new, best_ml),
+                jnp.where(better, dist_new, best_dist))
+
+    best_ml, best_dist = find_matches_var(
+        data_padded, valid_len, s, nwords=3, k=k, sort8=False)
+
+    for L in tiers:
+        nk = L // 4
+        keys = [_words_at(data_padded, 4 * i, s) for i in range(nk)]
+        carries = [_words_at(data_padded, L + 4 * i, s)
+                   for i in range(carry)]
+        ops = jax.lax.sort((*keys, pos, *carries), dimension=0,
+                           num_keys=nk, is_stable=True)
+        keys_s = ops[:nk]
+        poss = ops[nk]
+        car_s = ops[nk + 1:]
+        acc_ml = jnp.zeros(s, jnp.int32)
+        acc_d = jnp.zeros(s, jnp.int32)
+        for j in range(1, tier_k + 1):
+            same = jnp.ones(s, bool)
+            for kk in keys_s:
+                same = same & (shift(kk, j) == kk)
+            same = same & (shift(pos, j) >= j)
+            cand = shift(poss, j)
+            dist = poss - cand
+            ok = same & (dist >= 1) & (dist <= WINDOW_SIZE)
+            xs = [c ^ shift(c, j) for c in car_s]
+            ml = L + _ml_from_xors(xs)
+            ml = jnp.where(ok, ml, 0)
+            dist = jnp.where(ok, dist, 0)
+            acc_ml, acc_d = merge(ml, dist, acc_ml, acc_d)
+        packed = acc_d.astype(U) | (acc_ml.astype(U) << U(20))
+        _, packed_u = jax.lax.sort((poss, packed), dimension=0, num_keys=1)
+        ml_u = (packed_u >> U(20)).astype(jnp.int32)
+        dist_u = (packed_u & U(0xFFFFF)).astype(jnp.int32)
+        best_ml, best_dist = merge(ml_u, dist_u, best_ml, best_dist)
+
+    best_ml = jnp.minimum(best_ml, jnp.clip(valid_len - pos, 0, 258))
+    best_ml = jnp.where(best_ml >= MIN_MATCH, best_ml, 0)
+    return best_ml, best_dist
+
+
+def find_matches_strided(data_padded, valid_len, s, *, k=2,
+                         tiers=((16, 2), (64, 8)), tier_k=2, carry=2,
+                         decay=True):
+    """Strided exact tier ladder: tier (L, stride) sorts only positions
+    on the stride grid (sort elements / stride) with the raw L-byte
+    prefix as keys — a match of length >= L + stride - 1 always has a
+    grid point inside it, so long matches survive sampling. A covering
+    decay scan (prefix max of ml[q] + q, distance packed in the low
+    bits) then spreads each long candidate to the positions it covers,
+    restoring full-resolution entry points for selection and making
+    same-distance chains contiguous for extend_runs."""
+    pos = jnp.arange(s, dtype=jnp.int32)
+
+    def shift(a, j):
+        return jnp.concatenate([a[:j] * 0, a[:-j]])
+
+    def merge(ml_new, dist_new, best_ml, best_dist):
+        better = (ml_new > best_ml) | ((ml_new == best_ml)
+                                       & (dist_new < best_dist)
+                                       & (ml_new > 0))
+        return (jnp.where(better, ml_new, best_ml),
+                jnp.where(better, dist_new, best_dist))
+
+    best_ml, best_dist = find_matches_var(
+        data_padded, valid_len, s, nwords=3, k=k, sort8=False)
+
+    for L, stride in tiers:
+        nk = L // 4
+        m = s // stride
+        gpos = jnp.arange(m, dtype=jnp.int32) * stride
+        keys = [_words_at(data_padded, 4 * i, s)[::stride]
+                for i in range(nk)]
+        carries = [_words_at(data_padded, L + 4 * i, s)[::stride]
+                   for i in range(carry)]
+        ops = jax.lax.sort((*keys, gpos, *carries), dimension=0,
+                           num_keys=nk, is_stable=True)
+        keys_s = ops[:nk]
+        poss = ops[nk]
+        car_s = ops[nk + 1:]
+        gidx = jnp.arange(m, dtype=jnp.int32)
+        acc_ml = jnp.zeros(m, jnp.int32)
+        acc_d = jnp.zeros(m, jnp.int32)
+        for j in range(1, tier_k + 1):
+            same = jnp.ones(m, bool)
+            for kk in keys_s:
+                same = same & (jnp.concatenate([kk[:j] * 0, kk[:-j]]) == kk)
+            same = same & (jnp.concatenate(
+                [jnp.full(j, -1, jnp.int32), gidx[:-j]]) >= 0)
+            cand = jnp.concatenate([poss[:j] * 0, poss[:-j]])
+            dist = poss - cand
+            ok = same & (dist >= 1) & (dist <= WINDOW_SIZE)
+            xs = [c ^ jnp.concatenate([c[:j] * 0, c[:-j]]) for c in car_s]
+            ml = L + _ml_from_xors(xs)
+            ml = jnp.where(ok, ml, 0)
+            dist = jnp.where(ok, dist, 0)
+            acc_ml, acc_d = merge(ml, dist, acc_ml, acc_d)
+        packed = acc_d.astype(U) | (acc_ml.astype(U) << U(20))
+        _, packed_u = jax.lax.sort((poss, packed), dimension=0, num_keys=1)
+        ml_g = (packed_u >> U(20)).astype(jnp.int32)
+        dist_g = (packed_u & U(0xFFFFF)).astype(jnp.int32)
+        # scatter-free spread back to full resolution: strided arrays
+        # placed on the grid via reshape (positions off-grid get 0)
+        ml_f = jnp.zeros((m, stride), jnp.int32).at[:, 0].set(
+            ml_g).reshape(s) if stride > 1 else ml_g
+        dist_f = jnp.zeros((m, stride), jnp.int32).at[:, 0].set(
+            dist_g).reshape(s) if stride > 1 else dist_g
+        best_ml, best_dist = merge(ml_f, dist_f, best_ml, best_dist)
+
+    if decay:
+        # covering decay: every position learns the best match covering
+        # it (value = end position ml[q]+q, distance in the low 15 bits;
+        # ties prefer nearer). One doubling max-scan, no sorts/gathers.
+        end = jnp.where(best_ml >= MIN_MATCH, best_ml + pos, 0)
+        packed = (end.astype(U) << U(15)) \
+            | (U(32768) - jnp.clip(best_dist, 1, 32768).astype(U))
+        packed = jnp.where(best_ml >= MIN_MATCH, packed, U(0))
+        cov = _two_level_u32max(packed)
+        cov_end = (cov >> U(15)).astype(jnp.int32)
+        cov_d = (U(32768) - (cov & U(0x7FFF))).astype(jnp.int32)
+        cov_ml = cov_end - pos
+        use = (cov_ml > best_ml) & (cov_ml >= MIN_MATCH)
+        best_ml = jnp.where(use, cov_ml, best_ml)
+        best_dist = jnp.where(use, cov_d, best_dist)
+
+    best_ml = jnp.minimum(best_ml, jnp.clip(valid_len - pos, 0, 258))
+    best_ml = jnp.where(best_ml >= MIN_MATCH, best_ml, 0)
+    return best_ml, best_dist
+
+
+def _two_level_u32max(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        x = jnp.maximum(x, jnp.concatenate(
+            [jnp.zeros(d, x.dtype), x[:-d]]))
+        d *= 2
+    return x
+
+
 def serial_select(ml, dist, valid, lazy=False, min_match=4,
                   too_far3=4096):
     """Oracle selection: the host's serial greedy (optionally lazy) walk

@@ -186,3 +186,77 @@ def test_nonseekable_truncated_raises():
     dec = DeflateDecoder(_NonSeekableReader(comp[: len(comp) // 2]))
     with _pytest.raises(ShortInputError):
         dec.read()
+
+
+# -- gzip streaming (multi-member, dictionary carry across chunks) ---------
+
+def test_gzip_encoder_external_decodable():
+    import gzip as gz
+    import io
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 96, 300, dtype=np.uint8) + 32
+    data = np.tile(base, 9000)[: 2 * 1024 * 1024].tobytes()
+    sink = io.BytesIO()
+    from libdeflate_rsx_tpu.stream import GzipEncoder
+    with GzipEncoder(sink, level=6) as enc:
+        for i in range(0, len(data), 700000):
+            enc.write(data[i:i + 700000])
+    assert gz.decompress(sink.getvalue()) == data
+
+
+def test_gzip_encoder_multi_member_and_decoder():
+    import gzip as gz
+    import io
+    from libdeflate_rsx_tpu.stream import GzipDecoder, GzipEncoder
+    a = b"first member " * 3000
+    b = b"second member, fresh history " * 2000
+    sink = io.BytesIO()
+    enc = GzipEncoder(sink, level=6)
+    enc.write(a)
+    enc.new_member()
+    enc.write(b)
+    enc.finish()
+    blob = sink.getvalue()
+    # external decoder takes concatenated members
+    assert gz.decompress(blob) == a + b
+    # our streaming decoder too, in small reads
+    dec = GzipDecoder(io.BytesIO(blob))
+    out = bytearray()
+    while True:
+        got = dec.read(6101)
+        if not got:
+            break
+        out += got
+    assert bytes(out) == a + b
+    assert dec.finished
+
+
+def test_gzip_decoder_external_multi_member():
+    import gzip as gz
+    import io
+    from libdeflate_rsx_tpu.stream import GzipDecoder
+    blob = gz.compress(b"alpha" * 5000) + gz.compress(b"beta" * 7000)
+    dec = GzipDecoder(io.BytesIO(blob))
+    assert dec.read() == b"alpha" * 5000 + b"beta" * 7000
+
+
+def test_gzip_decoder_rejects_bad_crc():
+    import gzip as gz
+    import io
+    import pytest
+    from libdeflate_rsx_tpu.stream import GzipDecoder
+    from libdeflate_rsx_tpu.utils.errors import ChecksumMismatchError
+    blob = bytearray(gz.compress(b"payload" * 1000))
+    blob[-6] ^= 0xFF            # corrupt stored CRC
+    with pytest.raises(ChecksumMismatchError):
+        GzipDecoder(io.BytesIO(bytes(blob))).read()
+
+
+def test_gzip_encoder_empty():
+    import gzip as gz
+    import io
+    from libdeflate_rsx_tpu.stream import GzipEncoder
+    sink = io.BytesIO()
+    GzipEncoder(sink).finish()
+    assert gz.decompress(sink.getvalue()) == b""
