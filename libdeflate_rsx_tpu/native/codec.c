@@ -2460,7 +2460,80 @@ static int adler_simd_tier = -1;
 static void adler_simd_init(void) {
     if (adler_simd_tier >= 0) return;
     adler_simd_tier = __builtin_cpu_supports("avx2") ? 1 : 0;
+#if defined(__x86_64__)
+    if (__builtin_cpu_supports("avx512bw")
+            && __builtin_cpu_supports("avx512vnni"))
+        adler_simd_tier = 2;
+#endif
 }
+
+#if defined(__x86_64__)
+__attribute__((target("avx512bw,avx512vnni,avx512f")))
+static uint32_t adler32_vnni(uint32_t adler, const uint8_t *p, int64_t n) {
+    /* AVX-512 VNNI tier (the reference's top tier, reference
+     * src/adler32/x86.rs:904+, own design): 64 bytes per iteration as
+     * ONE vpdpbusd against descending weights for the in-block dot,
+     * one vpsadbw for the byte sum, and the rolled s1 prefix in epi64
+     * lanes. blk <= 5504 (NMAX rounded to 64) keeps every accumulator
+     * exact. */
+    static const uint8_t WB[64] = {
+        64, 63, 62, 61, 60, 59, 58, 57, 56, 55, 54, 53, 52, 51, 50, 49,
+        48, 47, 46, 45, 44, 43, 42, 41, 40, 39, 38, 37, 36, 35, 34, 33,
+        32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17,
+        16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1};
+    uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i w64 = _mm512_loadu_si512((const void *)WB);
+    /* first half of a 128-byte unit needs weights 128..65, but
+     * vpdpbusd's second operand is SIGNED i8 (max 127): use 127..64
+     * and add one extra byte-sum of the d0 stream (dot(d, 128..65) =
+     * dot(d, 127..64) + sum(d)), which vs1a already accumulates */
+    const __m512i w128 = _mm512_add_epi8(w64, _mm512_set1_epi8(63));
+    while (n >= 128) {
+        /* 128 B per iteration, two independent dpbusd streams;
+         * 5504 = 43 * 128 keeps the NMAX bound and the unit size */
+        int64_t blk = n > 5504 ? 5504 : (n & ~(int64_t)127);
+        n -= blk;
+        __m512i vs1a = zero, vs1b = zero, vroll = zero;
+        __m512i vs2a = zero, vs2b = zero;
+        for (int64_t i = 0; i < blk; i += 128) {
+            __m512i d0 = _mm512_loadu_si512((const void *)(p + i));
+            __m512i d1 = _mm512_loadu_si512((const void *)(p + i + 64));
+            vroll = _mm512_add_epi64(
+                vroll, _mm512_add_epi64(vs1a, vs1b));
+            vs1a = _mm512_add_epi64(vs1a, _mm512_sad_epu8(d0, zero));
+            vs1b = _mm512_add_epi64(vs1b, _mm512_sad_epu8(d1, zero));
+            vs2a = _mm512_dpbusd_epi32(vs2a, d0, w128);
+            vs2b = _mm512_dpbusd_epi32(vs2b, d1, w64);
+        }
+        uint64_t bsum_a = (uint64_t)_mm512_reduce_add_epi64(vs1a);
+        uint64_t bsum = bsum_a
+            + (uint64_t)_mm512_reduce_add_epi64(vs1b);
+        uint64_t rsum = (uint64_t)_mm512_reduce_add_epi64(vroll);
+        uint64_t wsum = (uint64_t)(uint32_t)_mm512_reduce_add_epi32(vs2a)
+            + (uint64_t)(uint32_t)_mm512_reduce_add_epi32(vs2b);
+        uint64_t s2w = (uint64_t)s2 + (uint64_t)s1 * (uint64_t)blk
+            + 128ull * rsum + wsum + bsum_a;
+        s1 = (uint32_t)(((uint64_t)s1 + bsum) % 65521);
+        s2 = (uint32_t)(s2w % 65521);
+        p += blk;
+    }
+    if (n >= 64) {
+        __m512i d = _mm512_loadu_si512((const void *)p);
+        uint64_t bsum = (uint64_t)_mm512_reduce_add_epi64(
+            _mm512_sad_epu8(d, zero));
+        uint64_t wsum = (uint64_t)(uint32_t)_mm512_reduce_add_epi32(
+            _mm512_dpbusd_epi32(zero, d, w64));
+        uint64_t s2w = (uint64_t)s2 + (uint64_t)s1 * 64ull + wsum;
+        s1 = (uint32_t)(((uint64_t)s1 + bsum) % 65521);
+        s2 = (uint32_t)(s2w % 65521);
+        p += 64; n -= 64;
+    }
+    while (n--) { s1 += *p++; s2 += s1; }
+    s1 %= 65521; s2 %= 65521;
+    return (s2 << 16) | s1;
+}
+#endif
 
 __attribute__((target("avx2")))
 static uint32_t adler32_avx2(uint32_t adler, const uint8_t *p, int64_t n) {
@@ -2527,7 +2600,11 @@ uint32_t adler32_c(uint32_t adler, const uint8_t *p, int64_t n) {
         | (uint32_t)(((adler >> 16) % 65521) << 16);
 #if defined(__x86_64__) || defined(__i386__)
     adler_simd_init();
-    if (adler_simd_tier == 1 && n >= 64)
+#if defined(__x86_64__)
+    if (adler_simd_tier == 2 && n >= 64)
+        return adler32_vnni(adler, p, n);
+#endif
+    if (adler_simd_tier >= 1 && n >= 64)
         return adler32_avx2(adler, p, n);
 #endif
     uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
