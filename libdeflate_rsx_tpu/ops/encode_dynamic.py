@@ -124,6 +124,225 @@ def emit_pack(data_padded: jnp.ndarray, ml: jnp.ndarray, dist: jnp.ndarray,
     return pack_rows(val, nb, start_bits, ROW_OUT_DYN)
 
 
+# ---------------------------------------------------------------------------
+# L6 tier: strided prefix ladder + 32 KiB cross-block history
+# ---------------------------------------------------------------------------
+# Measured design (scripts/eval_matchfinder.py, silesia-like corpus):
+# the nearest-previous-occurrence matchfinder alone tops out at ratio
+# ~2.65; history carry recovers the zlib-chunking gap (+5.5%), tiered
+# longer-prefix candidates close the long-match members (nci 7.1->10.1),
+# and lazy demotion + 256-wide greedy cells close the selection gap.
+# Strides keep the tier sorts affordable: a match of length >= L +
+# stride - 1 always covers a stride grid point, so tier (L, stride)
+# sorts only s/stride elements.
+
+HIST = WINDOW_SIZE          # cross-block history prefix (bytes)
+L6_TIERS = ((16, 2), (64, 8))
+L6_TIER_K = 2
+L6_CARRY = 2
+WTILE_L6 = 256              # selection cell (ops/encode_v2.select_tokens)
+
+
+def _words_at(data_padded: jnp.ndarray, off: int, s: int) -> jnp.ndarray:
+    d = data_padded.astype(U)
+    return (d[off:off + s] | (d[off + 1:off + 1 + s] << U(8))
+            | (d[off + 2:off + 2 + s] << U(16))
+            | (d[off + 3:off + 3 + s] << U(24)))
+
+
+def _prefix_bytes(x):
+    b0 = (x & U(0xFF)) == 0
+    b1 = (x & U(0xFFFF)) == 0
+    b2 = (x & U(0xFFFFFF)) == 0
+    return (b0.astype(jnp.int32) + b1.astype(jnp.int32)
+            + b2.astype(jnp.int32))
+
+
+def _ml_from_xors(xs):
+    """Exact common-prefix length 0..4*len(xs) from per-word XORs."""
+    total = jnp.zeros_like(xs[0], dtype=jnp.int32)
+    alive = jnp.ones(xs[0].shape, bool)
+    for x in xs:
+        step = jnp.where(x == 0, 4, _prefix_bytes(x))
+        total = total + jnp.where(alive, step, 0)
+        alive = alive & (x == 0)
+    return total
+
+
+def _merge_cand(ml_new, dist_new, best_ml, best_dist):
+    better = (ml_new > best_ml) | ((ml_new == best_ml)
+                                   & (dist_new < best_dist)
+                                   & (ml_new > 0))
+    return (jnp.where(better, ml_new, best_ml),
+            jnp.where(better, dist_new, best_dist))
+
+
+def _two_level_u32max(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive forward prefix max (manual doubling — see
+    encode_v2._two_level for why not lax.associative_scan/cumsum)."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        x = jnp.maximum(x, jnp.concatenate(
+            [jnp.zeros(d, x.dtype), x[:-d]]))
+        d *= 2
+    return x
+
+
+def find_matches_l6(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
+                    hist_start: jnp.ndarray, s: int,
+                    tiers=L6_TIERS, tier_k: int = L6_TIER_K,
+                    carry: int = L6_CARRY, k: int = 2):
+    """(ml, dist) per position over a [history | payload] window.
+
+    Base: one stable sort on the 4-byte word carrying pos + 3 next
+    words (exact lengths to 16) with `k` predecessors. Tiers (L,
+    stride): raw L-byte-prefix keys on the stride grid — nearest
+    previous occurrence sharing >= L, exact to L + 4*carry via carried
+    words. A covering decay scan spreads strided long candidates to
+    every position they cover (no sorts/gathers). Candidates are
+    rejected when they start before hist_start (bytes before the
+    stream's real beginning: the first block has no history).
+    """
+    pos = jnp.arange(s, dtype=jnp.int32)
+
+    def shift(a, j):
+        return jnp.concatenate([a[:j] * 0, a[:-j]])
+
+    # --- base tier: 4-byte key, k predecessors, exact <= 16 ----------------
+    w0 = _words_at(data_padded, 0, s)
+    ws = [_words_at(data_padded, 4 * (j + 1), s) for j in range(3)]
+    ops = jax.lax.sort((w0, pos, *ws), dimension=0, num_keys=1,
+                       is_stable=True)
+    w0s, poss, wss = ops[0], ops[1], ops[2:]
+    acc_ml = jnp.zeros(s, jnp.int32)
+    acc_d = jnp.zeros(s, jnp.int32)
+    for j in range(1, k + 1):
+        same = (shift(w0s, j) == w0s) & (shift(pos, j) >= j)
+        cand = shift(poss, j)
+        dist = poss - cand
+        ok = same & (dist >= 1) & (dist <= WINDOW_SIZE) \
+            & (cand >= hist_start)
+        xs = [w ^ shift(w, j) for w in wss]
+        ml = 4 + _ml_from_xors(xs)
+        ml = jnp.where(ok, ml, 0)
+        dist = jnp.where(ok, dist, 0)
+        acc_ml, acc_d = _merge_cand(ml, dist, acc_ml, acc_d)
+    packed = acc_d.astype(U) | (acc_ml.astype(U) << U(20))
+    _, packed_u = jax.lax.sort((poss, packed), dimension=0, num_keys=1)
+    best_ml = (packed_u >> U(20)).astype(jnp.int32)
+    best_dist = (packed_u & U(0xFFFFF)).astype(jnp.int32)
+
+    # --- strided longer-prefix tiers ----------------------------------------
+    for L, stride in tiers:
+        nk = L // 4
+        m = s // stride
+        gpos = jnp.arange(m, dtype=jnp.int32) * stride
+        keys = [_words_at(data_padded, 4 * i, s)[::stride]
+                for i in range(nk)]
+        carries = [_words_at(data_padded, L + 4 * i, s)[::stride]
+                   for i in range(carry)]
+        tops = jax.lax.sort((*keys, gpos, *carries), dimension=0,
+                            num_keys=nk, is_stable=True)
+        keys_s = tops[:nk]
+        gposs = tops[nk]
+        car_s = tops[nk + 1:]
+        gidx = jnp.arange(m, dtype=jnp.int32)
+        t_ml = jnp.zeros(m, jnp.int32)
+        t_d = jnp.zeros(m, jnp.int32)
+        for j in range(1, tier_k + 1):
+            same = jnp.ones(m, bool)
+            for kk in keys_s:
+                same = same & (jnp.concatenate(
+                    [kk[:j] * 0, kk[:-j]]) == kk)
+            same = same & (jnp.concatenate(
+                [jnp.full(j, -1, jnp.int32), gidx[:-j]]) >= 0)
+            cand = jnp.concatenate([gposs[:j] * 0, gposs[:-j]])
+            dist = gposs - cand
+            ok = same & (dist >= 1) & (dist <= WINDOW_SIZE) \
+                & (cand >= hist_start)
+            xs = [c ^ jnp.concatenate([c[:j] * 0, c[:-j]])
+                  for c in car_s]
+            ml = L + _ml_from_xors(xs)
+            ml = jnp.where(ok, ml, 0)
+            dist = jnp.where(ok, dist, 0)
+            t_ml, t_d = _merge_cand(ml, dist, t_ml, t_d)
+        packed = t_d.astype(U) | (t_ml.astype(U) << U(20))
+        _, packed_u = jax.lax.sort((gposs, packed), dimension=0,
+                                   num_keys=1)
+        ml_g = (packed_u >> U(20)).astype(jnp.int32)
+        dist_g = (packed_u & U(0xFFFFF)).astype(jnp.int32)
+        if stride > 1:
+            ml_f = jnp.zeros((m, stride), jnp.int32).at[:, 0].set(
+                ml_g).reshape(s)
+            dist_f = jnp.zeros((m, stride), jnp.int32).at[:, 0].set(
+                dist_g).reshape(s)
+        else:
+            ml_f, dist_f = ml_g, dist_g
+        best_ml, best_dist = _merge_cand(ml_f, dist_f, best_ml, best_dist)
+
+    # --- covering decay: spread long candidates to covered positions -------
+    # value = match end (ml + pos) in the high bits, nearness in the low
+    # 15 (ties prefer smaller dist); one doubling max-scan.
+    end = jnp.where(best_ml >= MIN_MATCH, best_ml + pos, 0)
+    packed = (end.astype(U) << U(15)) \
+        | (U(32768) - jnp.clip(best_dist, 1, 32768).astype(U))
+    packed = jnp.where(best_ml >= MIN_MATCH, packed, U(0))
+    cov = _two_level_u32max(packed)
+    cov_end = (cov >> U(15)).astype(jnp.int32)
+    cov_d = (U(32768) - (cov & U(0x7FFF))).astype(jnp.int32)
+    cov_ml = cov_end - pos
+    use = (cov_ml > best_ml) & (cov_ml >= MIN_MATCH)
+    best_ml = jnp.where(use, cov_ml, best_ml)
+    best_dist = jnp.where(use, cov_d, best_dist)
+
+    best_ml = jnp.minimum(best_ml, jnp.clip(valid_len - pos, 0, 258))
+    best_ml = jnp.where(best_ml >= MIN_MATCH, best_ml, 0)
+    return best_ml, best_dist
+
+
+def analyze_block_l6(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
+                     hist_start: jnp.ndarray, block_size: int):
+    """L6 match pipeline over [32 KiB history | payload] + payload-region
+    histograms. data_padded: (HIST + block_size + BLOCK_PAD,) uint8;
+    valid_len counts history + payload bytes; hist_start is the first
+    REAL history byte (HIST for the stream's first block, 0 after).
+
+    Returns payload-sliced (ml, dist, sel, lit, ll_hist, of_hist)."""
+    from .encode_v2 import select_tokens
+    s = HIST + block_size
+    ml, dist = find_matches_l6(data_padded, valid_len, hist_start, s)
+    ml = extend_runs(ml, dist, valid_len)
+    posv = jnp.arange(s, dtype=jnp.int32)
+    # history region emits nothing (the previous block covered it)
+    ml = jnp.where(posv >= HIST, ml, 0)
+    # one-position lazy demotion (the host greedy's lazy rule)
+    nxt = jnp.concatenate([ml[1:], jnp.zeros(1, jnp.int32)])
+    ml = jnp.where((nxt > ml) & (ml >= MIN_MATCH) & (nxt >= MIN_MATCH),
+                   0, ml)
+    ml, sel, lit = select_tokens(ml, dist, valid_len, wtile=WTILE_L6)
+
+    ml = ml[HIST:]
+    dist = dist[HIST:]
+    sel = sel[HIST:]
+    lit = lit[HIST:]
+    lsym, _, _ = length_sym_fields(jnp.maximum(ml, MIN_MATCH))
+    dsym, _, _ = offset_sym_fields(jnp.clip(dist, 1, WINDOW_SIZE))
+    byte = data_padded[HIST:HIST + block_size].astype(jnp.int32)
+    hsym = jnp.where(sel, lsym, jnp.where(lit, byte, _NOSYM_LL))
+    ll_hist = jnp.minimum(_hist(hsym, NUM_LITLEN), 65535
+                          ).astype(jnp.uint16)
+    of_hist = jnp.minimum(_hist(jnp.where(sel, dsym, _NOSYM_OF),
+                                NUM_OFFSET), 65535).astype(jnp.uint16)
+    return ml, dist, sel, lit, ll_hist, of_hist
+
+
+@functools.lru_cache(maxsize=8)
+def jit_analyze_l6(block_size: int):
+    f = functools.partial(analyze_block_l6, block_size=block_size)
+    return jax.jit(jax.vmap(f, in_axes=(0, 0, 0)))
+
+
 @functools.lru_cache(maxsize=8)
 def jit_analyze(block_size: int):
     f = functools.partial(analyze_block, block_size=block_size)

@@ -166,7 +166,7 @@ def _two_level(op, x: jnp.ndarray, fill: int = -(1 << 28)) -> jnp.ndarray:
 
 
 def select_tokens(ml: jnp.ndarray, dist: jnp.ndarray,
-                  valid_len: jnp.ndarray):
+                  valid_len: jnp.ndarray, wtile: int | None = None):
     """Valid non-overlapping token selection: scans + a lean 64-step walk.
 
     The exact greedy walk over a 64 KiB block is a 64K-step sequential
@@ -189,6 +189,7 @@ def select_tokens(ml: jnp.ndarray, dist: jnp.ndarray,
     Returns (ml_emit, sel, lit): disjoint selected matches with their
     emission lengths, and the literal mask covering every remaining byte.
     """
+    WTILE = wtile if wtile is not None else globals()["WTILE"]
     s = ml.shape[0]
     pos = jnp.arange(s, dtype=jnp.int32)
     in_range = pos < valid_len

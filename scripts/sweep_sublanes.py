@@ -52,7 +52,10 @@ def main() -> None:
     results = []
 
     combos = []
-    for s in (1, 2, 4):
+    import os
+    want = os.environ.get("LDRSX_SWEEP_S")
+    svals = tuple(int(x) for x in want.split(",")) if want else (1, 2, 4)
+    for s in svals:
         for n_streams in (256, s * 128):
             if (s, n_streams) not in combos:
                 combos.append((s, n_streams))

@@ -133,3 +133,48 @@ def test_auto_offload_calibration_cached():
     # second call must not re-run the (expensive) calibration
     bc._ratio_ok = not got
     assert bc._ratio_calibrate([b"x" * 20000]) == (not got)
+
+
+# -- L6 ratio tier (strided ladder + history carry) -------------------------
+
+@pytest.mark.parametrize("kind,size", [
+    ("text", 1000), ("text", 70000), ("pattern", 150000),
+    ("zeros", 100000), ("random", 30000), ("text", 0), ("text", 1),
+    ("periodic:7", 50000), ("text", 65537),
+])
+def test_device_l6_roundtrip(kind, size):
+    from libdeflate_rsx_tpu.models.greedy_dynamic import deflate_device_l6
+    data = make_corpus(kind, size)
+    assert raw_inflate(deflate_device_l6(data, 16384)) == data
+
+
+def test_l6_history_carry_improves_ratio():
+    """Blocks see the previous 32 KiB: a 20 KiB-period repeat spanning
+    blocks must compress far better than independent blocks would."""
+    from libdeflate_rsx_tpu.models.greedy_dynamic import (
+        deflate_device_dynamic, deflate_device_l6)
+    base = make_corpus("text", 20000)
+    data = base * 6                      # 120 KB, period 20 KB
+    l6 = deflate_device_l6(data, 16384)
+    nohist = deflate_device_dynamic(data, 16384)
+    assert raw_inflate(l6) == data
+    assert len(l6) < 0.5 * len(nohist)
+
+
+def test_l6_first_block_no_false_history():
+    """The first block has no history: zero padding in the prefix must
+    never become a match source (hist_start gating)."""
+    from libdeflate_rsx_tpu.models.greedy_dynamic import deflate_device_l6
+    data = b"\x00" * 50000               # zeros would match the padding
+    comp = deflate_device_l6(data, 16384)
+    assert raw_inflate(comp) == data
+
+
+def test_l6_beats_fast_dynamic_on_text():
+    from libdeflate_rsx_tpu.models.greedy_dynamic import (
+        deflate_device_dynamic, deflate_device_l6)
+    data = make_corpus("text", 300000)
+    l6 = deflate_device_l6(data)
+    fast = deflate_device_dynamic(data)
+    assert raw_inflate(l6) == data
+    assert len(l6) < 0.93 * len(fast)
