@@ -162,8 +162,15 @@ class BatchCompressor:
             from .models.stored import deflate_device_stored
             payload = deflate_device_stored(data)
         elif self.level in DEVICE_LEVELS_DYNAMIC:
-            from .models.greedy_dynamic import deflate_device_dynamic
-            payload = deflate_device_dynamic(data)
+            if self.level >= 6:
+                # ratio tier: strided-ladder matchfinder + cross-block
+                # history — the only device tier whose output size
+                # passes the auto-mode ratio gate at these levels
+                from .models.greedy_dynamic import deflate_device_l6
+                payload = deflate_device_l6(data)
+            else:
+                from .models.greedy_dynamic import deflate_device_dynamic
+                payload = deflate_device_dynamic(data)
         else:
             from .models.greedy_static import deflate_device_static
             payload = deflate_device_static(data)
@@ -191,8 +198,9 @@ class BatchCompressor:
             return True
         sample = next((x for x in items if len(x) >= 4096), None)
         if sample is None:
-            # tiny items: device launch overhead dominates anyway
-            self._ratio_ok = False
+            # tiny items: device launch overhead dominates anyway — but
+            # don't cache the verdict: a later batch with a real-sized
+            # item should still get to calibrate
             return False
         sample = sample[: 256 << 10]
         try:
@@ -221,9 +229,13 @@ class BatchCompressor:
             # a dev link; batching pays it once)
             if self.level in DEVICE_LEVELS_DYNAMIC and len(items) > 1:
                 try:
-                    from .models.greedy_dynamic import (
-                        deflate_device_dynamic_many)
-                    payloads = deflate_device_dynamic_many(items)
+                    if self.level >= 6:
+                        from .models.greedy_dynamic import (
+                            deflate_device_l6_many as _many)
+                    else:
+                        from .models.greedy_dynamic import (
+                            deflate_device_dynamic_many as _many)
+                    payloads = _many(items)
                     return [self._frame(d, p)
                             for d, p in zip(items, payloads)]
                 except Exception:
@@ -329,7 +341,8 @@ class BatchDecompressor:
                         out_cap=cap_bucket(capped))
                 else:
                     decoded = inflate_device_tokens(
-                        clean, s=s, max_steps=steps_for_caps(capped))
+                        clean, s=s, max_steps=steps_for_caps(capped),
+                        out_cap=cap_bucket(capped))
             except Exception:
                 decoded = None
         if decoded is None:

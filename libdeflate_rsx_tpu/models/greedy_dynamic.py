@@ -175,6 +175,42 @@ def deflate_device_l6(data: bytes,
         parts, data, block_size, valid - HIST, finals, num))
 
 
+def deflate_device_l6_many(datas: list[bytes],
+                           block_size: int = DEFAULT_BLOCK
+                           ) -> list[bytes]:
+    """Batched L6-ratio-tier encode of many independent buffers: all
+    items' history-prefixed blocks ride one analyze launch, one
+    histogram fetch, and one emit launch (same pipelining shape as
+    deflate_device_dynamic_many; history never crosses item bounds)."""
+    from ..ops.encode_dynamic import HIST
+    metas = []
+    arrs, valids, hists, finals_l = [], [], [], []
+    row = 0
+    for data in datas:
+        arr, valid, hist_start, finals, num = split_blocks_hist(
+            data, block_size)
+        metas.append((row, num, data, finals))
+        row += num
+        arrs.append(arr)
+        valids.append(valid)
+        hists.append(hist_start)
+        finals_l.append(finals)
+    if not metas:
+        return []
+    arr = np.concatenate(arrs)
+    valid = np.concatenate(valids)
+    hist_start = np.concatenate(hists)
+    finals = np.concatenate(finals_l)
+    parts = _encode_l6_blocks(arr, valid, hist_start, finals, block_size)
+    outs = []
+    for start, num, data, fin in metas:
+        item_parts = apply_stored_fallback(
+            parts[start:start + num], data, block_size,
+            valid[start:start + num] - HIST, fin, num)
+        outs.append(b"".join(item_parts))
+    return outs
+
+
 def deflate_device_dynamic_many(datas: list[bytes],
                                 block_size: int = DEFAULT_BLOCK
                                 ) -> list[bytes]:

@@ -204,6 +204,15 @@ def find_matches_l6(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
     rejected when they start before hist_start (bytes before the
     stream's real beginning: the first block has no history).
     """
+    # the covering-decay scan packs (match end << 15 | nearness) into
+    # uint32; match end can reach s + 258, so s must stay below 2^17
+    # or the packed key wraps and the prefix-max scan silently emits
+    # bogus matches
+    if s + 258 >= (1 << 17):
+        raise ValueError(
+            f"find_matches_l6 window {s} too large: HIST + block_size"
+            f" + 258 must stay < {1 << 17} (use block_size <="
+            f" {(1 << 17) - HIST - 259})")
     pos = jnp.arange(s, dtype=jnp.int32)
 
     def shift(a, j):

@@ -178,3 +178,50 @@ def test_l6_beats_fast_dynamic_on_text():
     fast = deflate_device_dynamic(data)
     assert raw_inflate(l6) == data
     assert len(l6) < 0.93 * len(fast)
+
+
+def test_l6_many_batched_matches_per_item():
+    """deflate_device_l6_many: one batched launch, per-item output
+    identical to per-item deflate_device_l6 (history must not cross
+    item boundaries)."""
+    from libdeflate_rsx_tpu.models.greedy_dynamic import (
+        deflate_device_l6, deflate_device_l6_many)
+    datas = [make_corpus("text", 40000, seed=i) for i in range(3)]
+    datas.append(make_corpus("pattern", 100000))
+    many = deflate_device_l6_many(datas, 16384)
+    for d, o in zip(datas, many):
+        assert raw_inflate(o) == d
+        assert o == deflate_device_l6(d, 16384)
+
+
+def test_batch_level6_uses_ratio_tier():
+    """Round-3 review item: BatchCompressor at level >= 6 must route to
+    the L6 ratio tier (not the fast dynamic tier the calibration gate
+    rejects). Explicit use_device=True documents the remaining ratio
+    trade; the batched output must match the per-item L6 tier."""
+    from libdeflate_rsx_tpu.batch import BatchCompressor
+    from libdeflate_rsx_tpu.models.greedy_dynamic import (
+        deflate_device_dynamic, deflate_device_l6)
+    datas = [make_corpus("text", 50000, seed=i) for i in range(2)]
+    outs = BatchCompressor(level=6, use_device=True).compress_batch(datas)
+    for d, o in zip(datas, outs):
+        assert raw_inflate(o) == d
+        assert o == deflate_device_l6(d)          # the ratio tier ran
+        assert len(o) < len(deflate_device_dynamic(d))
+
+
+def test_l6_block_size_guard():
+    """The covering-decay scan packs (end << 15) into uint32; block
+    sizes past the packing headroom must raise, not corrupt output."""
+    from libdeflate_rsx_tpu.models.greedy_dynamic import deflate_device_l6
+    with pytest.raises(ValueError):
+        deflate_device_l6(b"x" * 200000, 131072)
+
+
+def test_ratio_calibrate_tiny_batch_not_cached():
+    """A first batch of all-tiny items must not permanently disable
+    auto-mode offload for the instance."""
+    from libdeflate_rsx_tpu.batch import BatchCompressor
+    bc = BatchCompressor(level=6)
+    assert bc._ratio_calibrate([b"x" * 10, b"y" * 20]) is False
+    assert bc._ratio_ok is None          # verdict not cached
