@@ -137,9 +137,11 @@ def emit_pack(data_padded: jnp.ndarray, ml: jnp.ndarray, dist: jnp.ndarray,
 # sorts only s/stride elements.
 
 HIST = WINDOW_SIZE          # cross-block history prefix (bytes)
-L6_TIERS = ((16, 2), (64, 8))
-L6_TIER_K = 2
-L6_CARRY = 2
+L6_LEVELS = (16, 32, 64)    # rank-ladder candidate levels (bytes)
+L6_TIER_K = 6               # predecessors per ladder level (measured:
+                            # 2 -> 6 with base k=4 buys ~+1% ratio on
+                            # every silesia member at elementwise cost)
+L6_GRID = 2                 # ladder grid stride (bytes)
 WTILE_L6 = 256              # selection cell (ops/encode_v2.select_tokens)
 
 
@@ -191,28 +193,34 @@ def _two_level_u32max(x: jnp.ndarray) -> jnp.ndarray:
 
 def find_matches_l6(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
                     hist_start: jnp.ndarray, s: int,
-                    tiers=L6_TIERS, tier_k: int = L6_TIER_K,
-                    carry: int = L6_CARRY, k: int = 2):
+                    levels=L6_LEVELS, tier_k: int = L6_TIER_K,
+                    k: int = 4):
     """(ml, dist) per position over a [history | payload] window.
 
     Base: one stable sort on the 4-byte word carrying pos + 3 next
-    words (exact lengths to 16) with `k` predecessors. Tiers (L,
-    stride): raw L-byte-prefix keys on the stride grid — nearest
-    previous occurrence sharing >= L, exact to L + 4*carry via carried
-    words. A covering decay scan spreads strided long candidates to
-    every position they cover (no sorts/gathers). Candidates are
-    rejected when they start before hist_start (bytes before the
-    stream's real beginning: the first block has no history).
+    words (exact lengths to 16) with `k` predecessors. Long matches:
+    a PREFIX-DOUBLING RANK LADDER on a stride-2 grid — rank_{2L}[j] is
+    the dense rank of (rank_L[j], rank_L[j + L/2]), so each level is
+    one 2-KEY sort (a direct 16-word lexicographic sort of the 64-byte
+    prefix made XLA's comparator lowering explode: 525 s of compile for
+    that one sort; the whole ladder compiles in a fraction of that).
+    Each level's sorted pass extracts `tier_k` nearest-previous
+    candidates sharing >= L bytes, exact to L + 8 via two carried
+    words. A covering decay scan spreads grid candidates to every
+    position they cover (no sorts/gathers). Candidates are rejected
+    when they start before hist_start (bytes before the stream's real
+    beginning: the first block has no history).
     """
     # the covering-decay scan packs (match end << 15 | nearness) into
-    # uint32; match end can reach s + 258, so s must stay below 2^17
-    # or the packed key wraps and the prefix-max scan silently emits
-    # bogus matches
-    if s + 258 >= (1 << 17):
+    # uint32; match end can reach s + max(levels) + 8, so s must stay
+    # below 2^17 or the packed key wraps and the prefix-max scan
+    # silently emits bogus matches
+    slack = max(max(levels) + 8, 258)
+    if s + slack >= (1 << 17):
         raise ValueError(
             f"find_matches_l6 window {s} too large: HIST + block_size"
-            f" + 258 must stay < {1 << 17} (use block_size <="
-            f" {(1 << 17) - HIST - 259})")
+            f" + {slack} must stay < {1 << 17} (use block_size <="
+            f" {(1 << 17) - HIST - slack - 1})")
     pos = jnp.arange(s, dtype=jnp.int32)
 
     def shift(a, j):
@@ -242,53 +250,79 @@ def find_matches_l6(data_padded: jnp.ndarray, valid_len: jnp.ndarray,
     best_ml = (packed_u >> U(20)).astype(jnp.int32)
     best_dist = (packed_u & U(0xFFFFF)).astype(jnp.int32)
 
-    # --- strided longer-prefix tiers ----------------------------------------
-    for L, stride in tiers:
-        nk = L // 4
-        m = s // stride
-        gpos = jnp.arange(m, dtype=jnp.int32) * stride
-        keys = [_words_at(data_padded, 4 * i, s)[::stride]
-                for i in range(nk)]
-        carries = [_words_at(data_padded, L + 4 * i, s)[::stride]
-                   for i in range(carry)]
-        tops = jax.lax.sort((*keys, gpos, *carries), dimension=0,
-                            num_keys=nk, is_stable=True)
-        keys_s = tops[:nk]
-        gposs = tops[nk]
-        car_s = tops[nk + 1:]
-        gidx = jnp.arange(m, dtype=jnp.int32)
+    # --- prefix-doubling rank ladder (stride-2 grid) ------------------------
+    GS = L6_GRID
+    assert s % GS == 0
+    m = s // GS
+    gidx = jnp.arange(m, dtype=jnp.int32)
+
+    def shiftm(a, j):
+        return jnp.concatenate([a[:j] * 0, a[:-j]])
+
+    def ahead(r, d):
+        # unique negative tail labels: rank equality past the grid end
+        # must never be claimed (a shared sentinel would assert L-byte
+        # equality of positions whose real bytes differ)
+        pad = -(jnp.arange(d, dtype=jnp.int32) + 2)
+        return jnp.concatenate([r[d:], pad])
+
+    def ladder_pass(keyA, keyB, L):
+        """One ladder level: sort by (keyA, keyB); equal pairs share an
+        L-byte prefix. Returns (dense rank of the pair in grid order,
+        (ml, dist) candidates in grid order; ml exact to L + 8)."""
+        c0 = _words_at(data_padded, L, s)[::GS]
+        c1 = _words_at(data_padded, L + 4, s)[::GS]
+        srt = jax.lax.sort((keyA, keyB, gidx, c0, c1), dimension=0,
+                           num_keys=2, is_stable=True)
+        kAs, kBs, gs, c0s, c1s = srt
         t_ml = jnp.zeros(m, jnp.int32)
         t_d = jnp.zeros(m, jnp.int32)
         for j in range(1, tier_k + 1):
-            same = jnp.ones(m, bool)
-            for kk in keys_s:
-                same = same & (jnp.concatenate(
-                    [kk[:j] * 0, kk[:-j]]) == kk)
-            same = same & (jnp.concatenate(
-                [jnp.full(j, -1, jnp.int32), gidx[:-j]]) >= 0)
-            cand = jnp.concatenate([gposs[:j] * 0, gposs[:-j]])
-            dist = gposs - cand
+            same = (shiftm(kAs, j) == kAs) & (shiftm(kBs, j) == kBs) \
+                & (gidx >= j)
+            cand = shiftm(gs, j) * GS
+            dist = gs * GS - cand
             ok = same & (dist >= 1) & (dist <= WINDOW_SIZE) \
                 & (cand >= hist_start)
-            xs = [c ^ jnp.concatenate([c[:j] * 0, c[:-j]])
-                  for c in car_s]
+            xs = [c0s ^ shiftm(c0s, j), c1s ^ shiftm(c1s, j)]
             ml = L + _ml_from_xors(xs)
             ml = jnp.where(ok, ml, 0)
             dist = jnp.where(ok, dist, 0)
             t_ml, t_d = _merge_cand(ml, dist, t_ml, t_d)
+        # dense rank of (keyA, keyB) for the next level, plus the
+        # candidate scatter back to grid order, in one invert sort
+        neq = (kAs != shiftm(kAs, 1)) | (kBs != shiftm(kBs, 1)) \
+            | (gidx == 0)
+        rank_sorted = jnp.cumsum(neq.astype(jnp.int32))
         packed = t_d.astype(U) | (t_ml.astype(U) << U(20))
-        _, packed_u = jax.lax.sort((gposs, packed), dimension=0,
-                                   num_keys=1)
-        ml_g = (packed_u >> U(20)).astype(jnp.int32)
-        dist_g = (packed_u & U(0xFFFFF)).astype(jnp.int32)
-        if stride > 1:
-            ml_f = jnp.zeros((m, stride), jnp.int32).at[:, 0].set(
-                ml_g).reshape(s)
-            dist_f = jnp.zeros((m, stride), jnp.int32).at[:, 0].set(
-                dist_g).reshape(s)
-        else:
-            ml_f, dist_f = ml_g, dist_g
-        best_ml, best_dist = _merge_cand(ml_f, dist_f, best_ml, best_dist)
+        _, rank_g, packed_g = jax.lax.sort(
+            (gs, rank_sorted, packed), dimension=0, num_keys=1)
+        ml_g = (packed_g >> U(20)).astype(jnp.int32)
+        dist_g = (packed_g & U(0xFFFFF)).astype(jnp.int32)
+        return rank_g, ml_g, dist_g
+
+    # rank of the 8-byte prefix on the grid (no candidate extraction:
+    # the base tier already covers lengths <= 16 at stride 1)
+    w0g = w0[::GS]
+    w4g = _words_at(data_padded, 4, s)[::GS]
+    srt8 = jax.lax.sort((w0g, w4g, gidx), dimension=0, num_keys=2,
+                        is_stable=True)
+    neq8 = (srt8[0] != shiftm(srt8[0], 1)) \
+        | (srt8[1] != shiftm(srt8[1], 1)) | (gidx == 0)
+    _, rank = jax.lax.sort(
+        (srt8[2], jnp.cumsum(neq8.astype(jnp.int32))),
+        dimension=0, num_keys=1)
+    half = 8 // GS
+    for L in levels:                   # 16, 32, 64: key = the pair of
+        keyB = ahead(rank, half)       # half-prefix ranks
+        rank, ml_g, dist_g = ladder_pass(rank, keyB, L)
+        half = L // GS
+        ml_f = jnp.zeros((m, GS), jnp.int32).at[:, 0].set(
+            ml_g).reshape(s)
+        dist_f = jnp.zeros((m, GS), jnp.int32).at[:, 0].set(
+            dist_g).reshape(s)
+        best_ml, best_dist = _merge_cand(ml_f, dist_f, best_ml,
+                                         best_dist)
 
     # --- covering decay: spread long candidates to covered positions -------
     # value = match end (ml + pos) in the high bits, nearness in the low
