@@ -216,12 +216,17 @@ def _nib(packed_row, sym):
 
 
 def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
-                     nperm=None):
+                     nperm=None, unroll=True):
     """Masked in-kernel canonical-code construction from code lengths.
 
     For lanes in `mask`: counts per length, MSB-aligned limits, combined
     base-first offsets, and the canonical symbol permutation (counting
-    sort by (length, symbol), statically unrolled over symbols).
+    sort by (length, symbol), statically unrolled over symbols when
+    `unroll` — the Mosaic-proven form — or as a lax.fori_loop when not:
+    the unrolled 288-symbol litlen loop dominates the traced program
+    size, and on the interpret/CPU backend that inflates the XLA
+    compile from seconds to minutes, 10x worse once shard_map
+    partitions the graph for the virtual mesh).
     Returns the over-subscription flag per lane. Mirrors the host
     builder (native/codec.c build_table2) in canonical semantics, not
     in table layout - this decoder needs no tables beyond lim/fb/perm.
@@ -259,16 +264,42 @@ def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
     nprows = (nperm + 1) // 2
     perm_ref[...] = jnp.where(mask[None], 0, perm_ref[...])
     rowsP = _rows(nprows, s)
-    for sym in range(nsym):
-        l = _nib(lens_ref[sym >> 3], sym)
+    if unroll:
+        for sym in range(nsym):
+            l = _nib(lens_ref[sym >> 3], sym)
+            has = (l > 0) & mask
+            pos = jnp.sum(jnp.where(rows16 == l[None], nxt_arr, 0),
+                          axis=0)
+            pos = jnp.clip(pos, 0, nperm - 1)
+            m = (rowsP == (pos >> 1)[None]) & has[None]
+            half = (sym << ((pos & 1) << 4))[None]
+            perm_ref[...] = jnp.where(m, perm_ref[...] | half,
+                                      perm_ref[...])
+            nxt_arr = nxt_arr + ((rows16 == l[None])
+                                 & has[None]).astype(jnp.int32)
+        return bad_over
+
+    packed_all = lens_ref[...][:nrows]          # (nrows, s, 128) value
+    rowsN = _rows(nrows, s)
+
+    def body(sym, carry):
+        nxt_a, perm_v = carry
+        row = jnp.sum(jnp.where(rowsN == (sym >> 3), packed_all, 0),
+                      axis=0)
+        l = (row >> ((sym & 7) * 4)) & 15
         has = (l > 0) & mask
-        pos = jnp.sum(jnp.where(rows16 == l[None], nxt_arr, 0), axis=0)
+        pos = jnp.sum(jnp.where(rows16 == l[None], nxt_a, 0), axis=0)
         pos = jnp.clip(pos, 0, nperm - 1)
         m = (rowsP == (pos >> 1)[None]) & has[None]
         half = (sym << ((pos & 1) << 4))[None]
-        perm_ref[...] = jnp.where(m, perm_ref[...] | half, perm_ref[...])
-        nxt_arr = nxt_arr + ((rows16 == l[None]) & has[None]).astype(
+        perm_v = jnp.where(m, perm_v | half, perm_v)
+        nxt_a = nxt_a + ((rows16 == l[None]) & has[None]).astype(
             jnp.int32)
+        return nxt_a, perm_v
+
+    _, perm_out = jax.lax.fori_loop(
+        0, nsym, body, (nxt_arr, perm_ref[...]))
+    perm_ref[...] = perm_out
     return bad_over
 
 # per-lane state rows in the `sv` scratch (all handlers are in-place
@@ -281,13 +312,16 @@ def _build_canonical(lens_ref, nsym, lim_ref, fb_ref, perm_ref, mask, s,
 NSTATE = 19
 
 
-def _make_kernel(s, max_steps, nflush, nchunk=None, out_cap=None):
+def _make_kernel(s, max_steps, nflush, nchunk=None, out_cap=None,
+                 unroll=True):
     """Build the pass-1 kernel for S sublanes (S*128 streams/cell).
 
     nchunk/out_cap parameterize the per-stream input chunk count and
     output byte cap (defaults: the 64 KiB module constants) — the
     round-3 review's cap-lift item: bigger buckets compile their own
-    kernel variant instead of silently falling back to the host."""
+    kernel variant instead of silently falling back to the host.
+    unroll=False selects the fori_loop canonical-build form (used on
+    the interpret/CPU backend to keep XLA compile times sane)."""
     if nchunk is None:
         nchunk = NCHUNK
     if out_cap is None:
@@ -484,7 +518,8 @@ def _make_kernel(s, max_steps, nflush, nchunk=None, out_cap=None):
 
                 def pre_build():
                     b = _build_canonical(plens, 19, pre_lim, pre_fb,
-                                         pre_perm, mPd, s)
+                                         pre_perm, mPd, s,
+                                         unroll=unroll)
                     sv[R_MODE] = jnp.where(mPd & b, BAD, sv[R_MODE])
 
                 # store mode now so pre_build's BAD write composes
@@ -549,9 +584,10 @@ def _make_kernel(s, max_steps, nflush, nchunk=None, out_cap=None):
         def build_fn():
             mW = sv[R_MODE] == AWAITBUILD
             b1 = _build_canonical(ll_lens, 288, ll_lim, ll_fb,
-                                  ll_perm, mW, s)
+                                  ll_perm, mW, s, unroll=unroll)
             b2 = _build_canonical(of_lens, 30, of_lim, of_fb,
-                                  of_perm, mW, s, nperm=32)
+                                  of_perm, mW, s, nperm=32,
+                                  unroll=unroll)
             sv[R_MODE] = jnp.where(mW, jnp.where(b1 | b2, BAD, BODY),
                                    sv[R_MODE])
 
@@ -741,7 +777,9 @@ def _jit_pass1(groups, s, max_steps, in_cap=IN_CAP, out_cap=OUT_CAP):
     lanes = s * 128
     nflush = max_steps // TOK_CHUNK
     nchunk = in_cap // (4 * CHUNK_STRIDE) + 6
-    kernel = _make_kernel(s, max_steps, nflush, nchunk, out_cap)
+    interp = jax.default_backend() == "cpu"
+    kernel = _make_kernel(s, max_steps, nflush, nchunk, out_cap,
+                          unroll=not interp)
 
     def run(inbits, order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb,
             sof_perm, words):
@@ -802,7 +840,7 @@ def _jit_pass1(groups, s, max_steps, in_cap=IN_CAP, out_cap=OUT_CAP):
                                      jnp.int32),
                 jax.ShapeDtypeStruct((groups, 8, s, 128), jnp.int32),
             ],
-            interpret=jax.default_backend() == "cpu",
+            interpret=interp,
         )(inbits, order, sll_lim, sll_fb, sll_perm, sof_lim, sof_fb,
           sof_perm, words)
 
