@@ -68,21 +68,30 @@ def resolve_batch_jax(tokens, out_cap: int):
     outlen = ends[:, -1]
     ok = outlen <= N
 
-    # covering token per output position: scatter emitting-token indices
-    # at their starts, forward-fill with a max-scan (token indices are
-    # increasing, so max == latest-start-before-p)
-    tok_idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    emit = ext > 0
-    starts_sc = jnp.where(emit & (starts < N), starts, N)  # N -> dropped
-    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    mark = jnp.full((B, N), -1, jnp.int32)
-    mark = mark.at[bidx, starts_sc].max(tok_idx, mode="drop")
-    cov = jax.lax.associative_scan(jnp.maximum, mark, axis=1)
+    # covering token per output position p = the LAST token whose start
+    # is <= p (starts are a cumsum, hence sorted per row, and every
+    # token after the covering one starts at or past its end). Computed
+    # as a batched binary search unrolled to ceil(log2(T+1)) gather
+    # rounds: XLA:TPU compiles a (B, N) take_along_axis in ~1 s and
+    # executes it in ~1 ms, whereas ANY scatter at these shapes costs
+    # minutes of scatter-expander compile (measured 165-250 s at B=8
+    # with unique+sorted hints — the round-4 bench timeout), so this
+    # pass uses no scatter at all.
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    lo = jnp.zeros((B, N), jnp.int32)
+    hi = jnp.full((B, N), T, jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(T + 1))))):
+        act = lo < hi
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(starts, jnp.clip(mid, 0, T - 1), axis=1)
+        go_right = act & (v <= pos)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(act & ~go_right, mid, hi)
+    cov = lo - 1                 # -1 when no token starts at/before p
     covc = jnp.clip(cov, 0, T - 1)
 
     tcov = jnp.take_along_axis(tokens, covc, axis=1)        # (B, N)
     covk = jnp.where(cov < 0, 0, (tcov >> KIND_SHIFT) & 3)
-    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
     dist = ((tcov >> 8) & 0x7FFF) + 1
     par = jnp.where(covk == 2, pos - dist, pos)
     ok &= ~jnp.any((par < 0) & (pos < outlen[:, None]), axis=1)
