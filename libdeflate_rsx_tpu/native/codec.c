@@ -752,7 +752,7 @@ static int build_dyn_header(const uint8_t *ll_lens, const uint8_t *of_lens,
 
 static void write_block(BitW *w, const uint8_t *data, int64_t start,
                         int64_t end, const Seq *seqs, int nseq,
-                        int final) {
+                        int final, int64_t *size_acc) {
     /* literals are read straight from the input via the seq walk
      * (litrun literals, then len match bytes, per seq) — the previous
      * side buffer cost a store per literal in the parse loop plus two
@@ -806,6 +806,29 @@ static void write_block(BitW *w, const uint8_t *data, int64_t start,
     int64_t cost_static = 3 + body_static;
     int64_t nstored = raw / 65535 + 1;
     int64_t cost_stored = nstored * 40 + raw * 8 + 7;
+
+    if (size_acc) {
+        /* cost-only mode (the reference's compress_to_size estimator,
+         * reference src/compress/mod.rs:792-1094, made exact): the
+         * SAME election as the emit path below, with stored-block
+         * alignment resolved against the running bit position, so the
+         * accumulated size equals the emitted stream's bit-for-bit. */
+        if (cost_stored < cost_dyn && cost_stored < cost_static) {
+            int64_t b = *size_acc, pos = start;
+            do {
+                int64_t chunk = end - pos > 65535 ? 65535 : end - pos;
+                b += 3;
+                b = (b + 7) & ~7LL;       /* bw_align */
+                b += 32 + chunk * 8;      /* LEN/NLEN + payload */
+                pos += chunk;
+            } while (pos < end);
+            *size_acc = b;
+        } else {
+            *size_acc += cost_static <= cost_dyn ? cost_static
+                                                 : cost_dyn;
+        }
+        return;
+    }
 
     if (cost_stored < cost_dyn && cost_stored < cost_static) {
         int64_t pos = start;
